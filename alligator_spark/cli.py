@@ -1,0 +1,87 @@
+"""spark-submit entry point (the reference's ``python -m alligator.cli``,
+``alligator/cli.py:14-47``, re-expressed for Spark).
+
+Usage (shipped as ``spark-submit --py-files alligator_spark.zip
+main.py ...`` on a cluster; runs directly under plain python in local
+mode):
+
+    python -m alligator_spark.cli --input /path/docs.parquet \
+        --workdir /path/work [--no-resume] [--cores N]
+
+    # or synthesize the deterministic benchmark corpus:
+    python -m alligator_spark.cli --synthesize 500x5+500 --workdir /tmp/wd
+
+Prints per-stage row counts, wall time, and docs/sec — the reference
+prints per-table wall time the same way (``alligator/cli.py:41-47``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_spec(s: str):
+    """'500x5+500' -> CorpusSpec(n_entities=500, dups=5, distractors=500)."""
+    from alligator_spark.datagen import CorpusSpec
+
+    ent, rest = s.split("x")
+    dups, dis = rest.split("+")
+    return CorpusSpec(
+        n_entities=int(ent), dups_per_entity=int(dups), n_distractors=int(dis)
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="alligator_spark")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet/iceberg path of (doc_id, spans) docs")
+    src.add_argument("--synthesize", help="BxK+D deterministic corpus spec")
+    ap.add_argument("--workdir", required=True, help="checkpoint directory")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--max-block-size", type=int, default=64)
+    ap.add_argument("--evaluate", action="store_true", help="print pairwise F1 vs gold (synthesized corpora only)")
+    args = ap.parse_args(argv)
+
+    from alligator_spark.operators.pairs import PairConfig
+    from alligator_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from alligator_spark.session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    t0 = time.monotonic()
+    if args.synthesize:
+        from alligator_spark.datagen import generate_docs
+
+        spec = parse_spec(args.synthesize)
+        docs = generate_docs(spark, spec)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    cfg = PipelineConfig(pairs=PairConfig(max_block_size=args.max_block_size))
+    out = run_pipeline(spark, docs, args.workdir, cfg, resume=not args.no_resume)
+    n_docs = out["clusters"].count()
+    wall = time.monotonic() - t0
+    report = {
+        "docs": n_docs,
+        "components": out["components"].select("component_id").distinct().count(),
+        "accepted_edges": out["scored_edges"].filter("accepted").count(),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "workdir": args.workdir,
+    }
+    if args.evaluate and args.synthesize:
+        from alligator_spark.datagen import gold_clusters
+        from alligator_spark.eval import labeled_pairs, pairwise_prf
+
+        gold = gold_clusters(spark, spec)
+        lp = labeled_pairs(out["block_keys"], gold)
+        report["pairwise"] = pairwise_prf(lp, out["components"])
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Stage 5 — transitive clustering: large-star/small-star connected
+components over the accepted-edge DataFrame.
+
+The reference never clusters explicitly (cells linking to the same QID are
+implicitly co-referent — SURVEY §2.11); the north rule makes the closure
+explicit. Algorithm: alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14), expressed as
+hash joins + partial aggregations — no collect_list, so a giant star
+(hot component) never materializes one row per component:
+
+  large-star: bidirectional edges; for each u, m = min(N(u) ∪ {u});
+              emit (v, m) for v in N(u) with v > u.
+  small-star: orient edges (big -> small); for each u, m = min(N(u));
+              emit (v, m) for v in N(u), plus (u, m).
+
+Converges in O(log^2 n) rounds; our clusters are near-cliques so it
+typically converges in 2-3. Each round is localCheckpoint()ed to truncate
+lineage (driver-side iteration is the one thing Catalyst cannot express —
+SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.withColumn("m", F.least("u", "mv")).select("u", "m")
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attach = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    root = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return attach.unionAll(root).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor: order-insensitive, overflow-free (ANSI-safe) set digest
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, all_nodes: DataFrame | None = None, max_iter: int = 50
+) -> DataFrame:
+    """edges(doc_a, doc_b) -> components(doc_id, component_id).
+
+    ``all_nodes`` (one ``doc_id`` column) adds singleton components for
+    docs with no accepted edge.
+    """
+    cur = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).distinct()
+    cur = cur.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # after convergence every edge points child -> root
+    comps = cur.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+    ).unionAll(
+        cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component_id"))
+    ).groupBy("doc_id").agg(F.min("component_id").alias("component_id"))
+    if all_nodes is not None:
+        comps = (
+            all_nodes.select("doc_id")
+            .join(comps, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component_id", "doc_id").alias("component_id"),
+            )
+        )
+    return comps

@@ -1,0 +1,85 @@
+"""Stage 3 — candidate pair generation: salted self-join within blocks.
+
+This is the engine's core join (SURVEY §2.3 J6). A block of size s yields
+s*(s-1)/2 pairs, so hot keys explode quadratically — the reference's
+skip/limit partitioning has no answer to this (``alligator/manager/
+worker.py:141-177``, "no skew handling"); here skew is handled explicitly:
+
+* blocks with a single doc are dropped (no pairs);
+* blocks larger than ``max_block_size`` are *salt-split*: each doc is
+  assigned ``crc32(doc_id) % g`` with ``g = ceil(size / max_block_size)``,
+  and pairing happens within (block_key, salt). This caps per-task work at
+  ~max_block_size^2; the recall cost (cross-salt pairs lost in that block)
+  is recorded in lineage (split_blocks / oversize_docs counts).
+* AQE skew-join handles residual imbalance at runtime.
+
+Cross-key duplicate pairs are removed with one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PairConfig:
+    max_block_size: int = 64
+    # hard cap: blocks bigger than this even after statistics are dropped
+    # entirely (a degenerate key like the empty mention); logged in lineage
+    drop_block_size: int = 100_000
+
+
+def candidate_pairs(
+    keys: DataFrame, cfg: PairConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """keys(doc_id, block_key, key_kind) -> (pairs, block_stats).
+
+    pairs: (doc_a, doc_b, block_key)  with doc_a < doc_b, deduped.
+    block_stats: per-block size/salt bookkeeping for lineage.
+    """
+    cfg = cfg or PairConfig()
+
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    sizes = sizes.withColumn(
+        "n_salts",
+        F.when(F.col("block_size") > cfg.drop_block_size, F.lit(-1))  # dropped
+        .when(
+            F.col("block_size") > cfg.max_block_size,
+            F.ceil(F.col("block_size") / cfg.max_block_size).cast("int"),
+        )
+        .otherwise(F.lit(1)),
+    )
+
+    keyed = (
+        # shuffle join on block_key (co-partitioned with the self-join
+        # below; AQE upgrades to broadcast when stats are small) — sizes has
+        # one row per key, too big to force-broadcast at corpus scale
+        keys.join(sizes, "block_key")
+        .filter((F.col("block_size") > 1) & (F.col("n_salts") > 0))
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                F.pmod(F.crc32(F.col("doc_id")), F.col("n_salts")).cast("int")
+            ),
+        )
+        .select("block_key", "salt", "doc_id")
+    )
+
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, on=["block_key", "salt"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("block_key"),
+        )
+    )
+    # one (doc_a, doc_b) edge even when co-blocked under several keys;
+    # keep the lexicographically smallest key for lineage determinism
+    pairs = pairs.groupBy("doc_a", "doc_b").agg(F.min("block_key").alias("block_key"))
+    return pairs, sizes

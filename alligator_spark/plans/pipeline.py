@@ -1,0 +1,88 @@
+"""End-to-end record-linkage pipeline: the Spark analogue of the
+reference's 4-stage coordinator (``alligator/coordinator.py:51-93``).
+
+  normalize -> block_keys -> candidate_edges -> scored_edges -> components
+
+Each stage commits a checkpoint table with per-partition lineage; a rerun
+with the same workdir skips committed stages (resume semantics of the
+reference's status flags). The final clusters table re-joins components
+onto the INTACT input docs — the ``spans`` column flows through from the
+scan untouched (span-sequence invariant, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alligator_spark.operators.blocking import BlockingConfig, block_keys
+from alligator_spark.operators.clustering import connected_components
+from alligator_spark.operators.normalize import normalize_docs
+from alligator_spark.operators.pairs import PairConfig, candidate_pairs
+from alligator_spark.operators.scoring import ScoringConfig, accept_edges, score_pairs
+from alligator_spark.sources.tables import CheckpointManager
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    pairs: PairConfig = field(default_factory=PairConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+
+    def run_id(self) -> str:
+        """Deterministic id from config (the reference's SHA-256 cache-key
+        pattern, alligator/fetchers.py:16-30)."""
+        blob = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+STAGES = ["normalized", "block_keys", "candidate_edges", "scored_edges", "components"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns all stage DataFrames."""
+    cfg = cfg or PipelineConfig()
+    ckpt = CheckpointManager(spark, workdir, cfg.run_id())
+    out: dict[str, DataFrame] = {}
+
+    def stage(name: str, build):
+        if resume and ckpt.committed(name):
+            out[name] = ckpt.read(name)
+        else:
+            out[name] = ckpt.commit(build(), name)
+        return out[name]
+
+    normalized = stage("normalized", lambda: normalize_docs(docs))
+    keys = stage("block_keys", lambda: block_keys(normalized, cfg.blocking))
+    pairs = stage(
+        "candidate_edges", lambda: candidate_pairs(keys, cfg.pairs)[0]
+    )
+    scored = stage(
+        "scored_edges",
+        lambda: accept_edges(score_pairs(pairs, normalized), cfg.scoring),
+    )
+    components = stage(
+        "components",
+        lambda: connected_components(
+            scored.filter("accepted").select("doc_a", "doc_b"),
+            all_nodes=normalized.select("doc_id"),
+        ),
+    )
+
+    # final output: clusters joined back onto intact docs (spans untouched)
+    out["clusters"] = docs.join(components, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "spans",
+    )
+    return out

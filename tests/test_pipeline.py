@@ -1,0 +1,140 @@
+"""End-to-end gold-cluster fixtures: F1 >= 0.99, span invariant, resume.
+
+SURVEY §5 "ours": (b) gold-cluster end-to-end, (c) span-sequence
+invariant, (d) resume-after-kill, plus blocking-recall and clustering
+unit checks.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from alligator_spark.datagen import CorpusSpec, generate_docs, gold_clusters
+from alligator_spark.eval import labeled_pairs, pairwise_prf
+from alligator_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, smoke_docs, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    return run_pipeline(spark, smoke_docs, wd), wd
+
+
+class TestEndToEnd:
+    def test_pairwise_f1_at_least_099(self, spark, smoke_spec, smoke_docs, pipeline_out):
+        out, _ = pipeline_out
+        gold = gold_clusters(spark, smoke_spec)
+        lp = labeled_pairs(out["block_keys"], gold)
+        m = pairwise_prf(lp, out["components"])
+        assert m["f1"] >= 0.99, m
+
+    def test_every_doc_gets_a_component(self, smoke_docs, pipeline_out):
+        out, _ = pipeline_out
+        assert out["clusters"].count() == smoke_docs.count()
+        assert out["clusters"].filter(F.col("component_id").isNull()).count() == 0
+
+    def test_span_sequence_preserved_exactly(self, smoke_docs, pipeline_out):
+        # the per-row invariant: (kind, text, media_ref, order) unchanged
+        out, _ = pipeline_out
+        orig = smoke_docs.select("doc_id", "spans")
+        final = out["clusters"].select("doc_id", "spans")
+        diff = orig.exceptAll(final)
+        assert diff.count() == 0
+
+    def test_blocking_recall_on_gold_pairs(self, spark, smoke_spec, pipeline_out):
+        # every gold duplicate pair shares >= 1 block key on the smoke
+        # fixture (SURVEY §7.3: blocking recall ~1.0 on fixtures)
+        out, _ = pipeline_out
+        gold = gold_clusters(spark, smoke_spec)
+        g = gold.alias("x").join(
+            gold.alias("y"), F.col("x.cluster_id") == F.col("y.cluster_id")
+        ).filter(F.col("x.doc_id") < F.col("y.doc_id")).select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        lp = labeled_pairs(out["block_keys"], gold).filter("is_match")
+        missed = g.join(lp, ["doc_a", "doc_b"], "left_anti").count()
+        assert missed == 0
+
+
+class TestResume:
+    def test_resume_skips_committed_stages_and_matches(self, spark, smoke_docs, tmp_path):
+        wd = str(tmp_path / "wd")
+        full = run_pipeline(spark, smoke_docs, wd)
+        comp1 = sorted(full["components"].collect())
+        # simulate a kill after stage 3: wipe the last two stage tables
+        shutil.rmtree(os.path.join(wd, "scored_edges"))
+        shutil.rmtree(os.path.join(wd, "components"))
+        rerun = run_pipeline(spark, smoke_docs, wd)
+        comp2 = sorted(rerun["components"].collect())
+        assert comp1 == comp2
+
+    def test_lineage_rows_written_per_stage(self, spark, pipeline_out):
+        from alligator_spark.sources.tables import CheckpointManager
+
+        out, wd = pipeline_out
+        lineage = CheckpointManager(spark, wd, "x").lineage()
+        stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+        assert {
+            "normalized",
+            "block_keys",
+            "candidate_edges",
+            "scored_edges",
+            "components",
+        } <= stages
+        row = lineage.limit(1).collect()[0]
+        assert set(row.asDict()) == {
+            "stage",
+            "partition_id",
+            "input_count",
+            "edge_count",
+            "wall_ms",
+            "run_id",
+        }
+
+
+class TestClustering:
+    def test_transitive_closure(self, spark):
+        from alligator_spark.operators.clustering import connected_components
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], ["doc_a", "doc_b"]
+        )
+        nodes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], ["doc_id"]
+        )
+        comps = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(edges, nodes).collect()
+        }
+        assert comps["a"] == comps["b"] == comps["c"]
+        assert comps["x"] == comps["y"]
+        assert comps["a"] != comps["x"]
+        assert comps["z"] == "z"
+
+    def test_long_chain(self, spark):
+        from alligator_spark.operators.clustering import connected_components
+
+        n = 40
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["doc_a", "doc_b"]
+        )
+        comps = connected_components(edges).collect()
+        assert len({r["component_id"] for r in comps}) == 1
+        assert len(comps) == n + 1
+
+
+class TestDeterminism:
+    def test_datagen_stable_across_partitionings(self, spark):
+        spec = CorpusSpec(n_entities=5, dups_per_entity=2, n_distractors=5)
+        a = generate_docs(spark, spec).collect()
+        b = (
+            generate_docs(spark.newSession() if False else spark, spec)
+            .repartition(3)
+            .collect()
+        )
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_run_id_deterministic(self):
+        assert PipelineConfig().run_id() == PipelineConfig().run_id()
