@@ -1,38 +1,615 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on the
+deterministic synthetic corpus. ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md §2 (plus the training-data
+curation operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query. Float outputs are rounded identically
+on both sides so the driver's value-hash compare is stable.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+_SPEC_BY_SF = {
+    # sf dir basename -> (entities, dups, distractors)
+    "sf0.001": (20, 3, 20),
+    "sf0.01": (100, 4, 100),
+    "sf0.1": (1000, 4, 1000),
+}
+
+
+def _corpus_spec(sf_dir: str):
+    from alligator_spark.datagen import CorpusSpec
+
+    b, k, d = _SPEC_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), (100, 4, 100))
+    return CorpusSpec(n_entities=b, dups_per_entity=k, n_distractors=d, seed=42)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _clean_expr(c):
+    from alligator_spark.functions.textnorm import clean_str_col
+
+    return clean_str_col(c)
+
+
+# --------------------------------------------------------------- ER family
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full blocking->scoring->clustering linkage on the
+    deterministic synthetic interleaved-doc corpus (SURVEY §3.4)."""
+    from alligator_spark.datagen import generate_docs
+    from alligator_spark.plans.pipeline import run_linkage
+
+    docs = generate_docs(spark, _corpus_spec(sf_dir))
+    out = run_linkage(spark, docs)
+    return out["components"].select("doc_id", "component_id")
+
+
+def q_er_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the flagship output (A6-style counts)."""
+    comps = q_er_clusters(spark, sf_dir)
+    return (
+        comps.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def q_er_exact_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components where edges = exact normalized-text equality
+    (oracle-checkable clustering: components == min doc_id per group)."""
+    from alligator_spark.operators.clustering import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _clean_expr(F.col("text")).alias("ctext")
+    )
+    reps = docs.groupBy("ctext").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        docs.join(reps, "ctext")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
+    )
+    return connected_components(
+        edges, all_nodes=docs.select("doc_id")
+    ).select("doc_id", "component_id")
+
+
+def q_block_keys_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort blocking key per document (SURVEY §7.1 step 3)."""
+    from alligator_spark.functions.textnorm import token_sort_key_col
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = _clean_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_sort_key_col(cleaned).alias("block_key"),
+        token_sort_key_col(cleaned, 2).alias("block_key_prefix2"),
+    )
+
+
+def q_clean_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference clean_str normalization (F1, alligator/utils.py:56-75)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _clean_expr(F.col("text")).alias("ctext"))
+
+
+# --------------------------------------------- scans / filters / projections
+
+
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1+P4: pushed-down scan, projection, predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+
+
+# ------------------------------------------------------------- joins / aggs
+
+
+def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4-style enrichment join + partial-agg rollup per nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def q_agg_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (CTA frequency) semantics: per event_type, fraction of distinct
+    users emitting it (per-doc dedup then / n_docs)."""
+    e = _t(spark, sf_dir, "events")
+    total = e.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    return e.groupBy("event_type").agg(
+        F.round(F.countDistinct("user_id") / F.lit(float(total)), 6).alias("freq")
+    )
+
+
+def q_agg_cpa_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (CPA frequency) semantics: per event_type, sum of per-user max
+    value / n distinct users overall."""
+    e = _t(spark, sf_dir, "events")
+    total = e.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    per_user = e.groupBy("event_type", "user_id").agg(F.max("value").alias("mx"))
+    return per_user.groupBy("event_type").agg(
+        F.round(F.sum("mx") / F.lit(float(total)), 6).alias("cpa_freq")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2: top-3 orders per customer by totalprice (deterministic
+    tie-break on orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 argmax: per nation, the customer with max acctbal (tie-break
+    custkey asc) — keys_with_max_count analogue."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/exact dedup: one representative per distinct document text."""
+    from alligator_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------- text analysis
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from alligator_spark.operators.text_analysis import token_stats
+
+    return token_stats(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_computed",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+    )
+
+
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal counts (all integers — exact cross-engine compare):
+    punctuation chars, stopword hits, distinct tokens, tokens, chars."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(F.trim(t), r"\s+")
+    from alligator_spark.operators.text_analysis import EN_STOPWORDS
+
+    return docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).alias("punct_chars"),
+        F.size(
+            F.array_intersect(
+                F.transform(toks, F.lower),
+                F.array(*[F.lit(w) for w in EN_STOPWORDS]),
+            )
+        ).alias("stopword_hits"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.size(toks).alias("n_tokens"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score (rows-only check: the composite
+    mixes discrete rationals whose decimal-half rounding differs between
+    engines' rounding modes)."""
+    docs = _t(spark, sf_dir, "documents")
+    from alligator_spark.operators.text_analysis import quality_score
+
+    return quality_score(docs, "text").select(
+        "doc_id",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+        F.round("quality", 4).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from alligator_spark.operators.text_analysis import lang_id
+
+    return lang_id(docs, "text").select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred"
+    )
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: raw + normalized Levenshtein between consecutive documents."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("tb"))
+    j = a.join(b, "id_a")
+    return j.select(
+        "id_a",
+        F.levenshtein("ta", "tb").alias("lev"),
+        F.round(
+            F.levenshtein("ta", "tb")
+            / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+            6,
+        ).alias("lev_norm"),
+    )
+
+
+def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 token-set overlap (|A∩B|/max(|A|,|B|,1)) between same-source
+    document pairs, thresholded."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    a = docs.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    b = docs.select(
+        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    pairs = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.greatest(
+        F.size("ta"), F.size("tb"), F.lit(1)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("tok_jaccard")
+    ).filter(F.col("tok_jaccard") >= 0.8)
+
+
+def q_number_sim_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 number similarity (1-|a-b|/max(|a|,|b|,1)) between consecutive
+    event values per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value").over(w)
+    simexpr = 1 - F.abs(F.col("value") - prev) / F.greatest(
+        F.abs(F.col("value")), F.abs(prev), F.lit(1.0)
+    )
+    return (
+        e.withColumn("num_sim", F.round(simexpr, 6))
+        .filter(F.col("num_sim").isNotNull())
+        .select("event_id", "user_id", "num_sim")
+    )
+
+
+def q_date_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 date similarity vs anchor 2000-06-15: mean of Y/M/D number sims."""
+    e = _t(spark, sf_dir, "events")
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+
+    def ns(a, bval):
+        b = F.lit(float(bval))
+        return 1 - F.abs(a - b) / F.greatest(F.abs(a.cast("double")), F.abs(b), F.lit(1.0))
+
+    simexpr = (ns(y, 2000) + ns(m, 6) + ns(d, 15)) / 3
+    return e.select("event_id", F.round(simexpr, 6).alias("date_sim"))
+
+
+# ------------------------------------------------- dedup / ANN (rows-only)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alligator_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alligator_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from alligator_spark.operators.similarity_search import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alligator_spark.operators.similarity_search import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_topk(emb, q, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alligator_spark.operators.dedup import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, "vec_id", "embedding", threshold=0.97)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alligator_spark.operators.text_analysis import fingerprint_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fingerprint_docs(docs, "doc_id", "text")
+    return out.select("doc_id", F.explode("fingerprint").alias("fp_hash"))
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media table -> batch (fake) decode -> metadata."""
+    from alligator_spark.datagen import generate_docs
+    from alligator_spark.operators.multimodal import decode_media, media_table_from_docs
+
+    docs = generate_docs(spark, _corpus_spec(sf_dir))
+    media = media_table_from_docs(docs)
+    return decode_media(media, fake=True)
+
+
+# ------------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_er_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "er_clusters": q_er_clusters,
+        "er_cluster_sizes": q_er_cluster_sizes,
+        "er_exact_components": q_er_exact_components,
+        "block_keys_token_sort": q_block_keys_token_sort,
+        "clean_str": q_clean_str,
+        "scan_project_filter": q_scan_project_filter,
+        "join_agg_revenue": q_join_agg_revenue,
+        "agg_type_freq": q_agg_type_freq,
+        "agg_cpa_freq": q_agg_cpa_freq,
+        "topk_per_group": q_topk_per_group,
+        "argmax_per_group": q_argmax_per_group,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_counts": q_quality_counts,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "edit_distance": q_edit_distance,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "number_sim_lag": q_number_sim_lag,
+        "date_sim": q_date_sim,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "fingerprints": q_fingerprints,
+        "media_decode": q_media_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CLEAN_SQL = (
+    "coalesce(nullif(trim(regexp_replace(regexp_replace(regexp_replace("
+    "lower(text), '\\[\\d+\\w*\\]', '', 'g'), '_', ' ', 'g'), '\\s+', ' ', 'g')), ''),"
+    " lower(text))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "er_exact_components": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents)
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY ctext) AS component_id
+            FROM c
+        """,
+        "block_keys_token_sort": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+            t AS (SELECT doc_id,
+                         list_sort(list_distinct(string_split(ctext, ' '))) AS toks
+                  FROM c)
+            SELECT doc_id,
+                   array_to_string(toks, ' ') AS block_key,
+                   array_to_string(toks[1:2], ' ') AS block_key_prefix2
+            FROM t
+        """,
+        "clean_str": f"SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents",
+        "scan_project_filter": """
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+        """,
+        "join_agg_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "agg_type_freq": """
+            SELECT event_type,
+                   round(count(DISTINCT user_id)::double
+                         / (SELECT count(DISTINCT user_id) FROM events), 6) AS freq
+            FROM events GROUP BY event_type
+        """,
+        "agg_cpa_freq": """
+            WITH pu AS (SELECT event_type, user_id, max(value) AS mx
+                        FROM events GROUP BY event_type, user_id)
+            SELECT event_type,
+                   round(sum(mx) / (SELECT count(DISTINCT user_id) FROM events), 6)
+                     AS cpa_freq
+            FROM pu GROUP BY event_type
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "argmax_per_group": """
+            SELECT c_nationkey, top_custkey, acctbal FROM (
+              SELECT c_nationkey, c_custkey AS top_custkey,
+                     round(c_acctbal, 2) AS acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+              FROM customer)
+            WHERE rk = 1
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS rep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))::double
+                         / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+                     AS avg_token_len
+            FROM documents
+        """,
+        "number_sim_lag": """
+            SELECT event_id, user_id, round(num_sim, 6) AS num_sim FROM (
+              SELECT event_id, user_id,
+                     1 - abs(value - lag(value) OVER w)
+                         / greatest(abs(value), abs(lag(value) OVER w), 1.0) AS num_sim
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+            WHERE num_sim IS NOT NULL
+        """,
+        "date_sim": """
+            SELECT event_id,
+                   round(((1 - abs(year(ts) - 2000.0) / greatest(year(ts), 2000.0, 1.0))
+                        + (1 - abs(month(ts) - 6.0) / greatest(month(ts), 6.0, 1.0))
+                        + (1 - abs(day(ts) - 15.0) / greatest(day(ts), 15.0, 1.0))) / 3,
+                     6) AS date_sim
+            FROM events
+        """,
+        "edit_distance": """
+            SELECT a.doc_id AS id_a,
+                   levenshtein(a.text, b.text) AS lev,
+                   round(levenshtein(a.text, b.text)::double
+                         / greatest(length(a.text), length(b.text), 1), 6) AS lev_norm
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "token_jaccard_pairs": """
+            WITH t AS (SELECT doc_id, source,
+                              list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.toks, b.toks))::double
+                         / greatest(len(a.toks), len(b.toks), 1), 6) AS tok_jaccard
+            FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::double
+                  / greatest(len(a.toks), len(b.toks), 1) >= 0.8
+        """,
+        "quality_counts": _QUALITY_SQL,
+        "lang_id": _LANG_SQL,
+        "embedding_topk": """
+            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim,
+                     row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+               AND c.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+    }
+
+
+_STOPWORDS_SQL = "['the','and','of','to','in','is','that','for','with','as','a','an','it','on','at','by','be','are']"
+
+_QUALITY_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct_chars,
+           len(list_intersect(list_transform(toks, x -> lower(x)),
+                              {_STOPWORDS_SQL})) AS stopword_hits,
+           len(list_distinct(toks)) AS distinct_tokens,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_computed
+    FROM t
+"""
+
+_LANG_LISTS = {
+    "en": "['the','and','of','to','in','is','that','for','with','as']",
+    "de": "['der','die','das','und','ist','von','mit','für','auf','ein']",
+    "fr": "['le','la','les','et','est','de','pour','avec','dans','une']",
+    "es": "['el','la','los','y','es','de','para','con','en','una']",
+}
+
+_LANG_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             len(list_intersect(toks, {_LANG_LISTS["en"]})) AS hits_en,
+             len(list_intersect(toks, {_LANG_LISTS["de"]})) AS hits_de,
+             len(list_intersect(toks, {_LANG_LISTS["fr"]})) AS hits_fr,
+             len(list_intersect(toks, {_LANG_LISTS["es"]})) AS hits_es
+      FROM t)
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+"""

@@ -43,6 +43,35 @@ class PipelineConfig:
 STAGES = ["normalized", "block_keys", "candidate_edges", "scored_edges", "components"]
 
 
+def run_linkage(
+    spark: SparkSession, docs: DataFrame, cfg: PipelineConfig | None = None
+) -> dict[str, DataFrame]:
+    """Uncheckpointed composition of all five stages (for tests/benchmarks
+    and embedding in other plans); same dataflow as run_pipeline."""
+    cfg = cfg or PipelineConfig()
+    normalized = normalize_docs(docs)
+    keys = block_keys(normalized, cfg.blocking)
+    pairs, _ = candidate_pairs(keys, cfg.pairs)
+    scored = accept_edges(score_pairs(pairs, normalized), cfg.scoring)
+    components = connected_components(
+        scored.filter("accepted").select("doc_a", "doc_b"),
+        all_nodes=normalized.select("doc_id"),
+    )
+    clusters = docs.join(components, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "spans",
+    )
+    return {
+        "normalized": normalized,
+        "block_keys": keys,
+        "candidate_edges": pairs,
+        "scored_edges": scored,
+        "components": components,
+        "clusters": clusters,
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,

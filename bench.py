@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus docs/sec for the flagship linkage pipeline}.
+
+Each query is forced with a count() (no result materialization to the
+driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "er_clusters",
+    "minhash_dedup",
+    "simhash_dedup",
+    "dedup_exact",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "join_agg_revenue",
+    "topk_per_group",
+    "agg_type_freq",
+    "token_stats",
+    "quality_counts",
+    "lang_id",
+    "token_jaccard_pairs",
+    "block_keys_token_sort",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entrymod
+    from alligator_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + python workers once (tiny job)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        rows[name] = fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship throughput: docs/sec over the full linkage pipeline
+    n_docs = sum(v for k, v in rows.items() if k == "er_clusters")
+    er_sec = timings["er_clusters"]
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "er_docs": n_docs,
+        "er_docs_per_sec": round(n_docs / er_sec, 1) if er_sec else None,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

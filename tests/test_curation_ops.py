@@ -1,0 +1,187 @@
+"""Dedup / similarity-search / text-analysis / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "another unrelated document with its own words"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, docs_df):
+        from alligator_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(docs_df, "doc_id", "text").collect()
+        assert len(out) == 4  # 1&2 collapse
+        by_rep = {r["rep_id"]: r["dup_count"] for r in out}
+        assert by_rep[1] == 2
+
+
+class TestMinhashDedup:
+    def test_near_dups_cluster(self, docs_df):
+        from alligator_spark.operators.dedup import minhash_lsh_dedup
+
+        comps = {
+            r["doc_id"]: r["component_id"]
+            for r in minhash_lsh_dedup(docs_df, "doc_id", "text", 0.7).collect()
+        }
+        assert comps[1] == comps[2] == comps[3]
+        assert comps[4] != comps[1]
+        assert comps[5] != comps[4]
+
+
+class TestSimhashDedup:
+    def test_near_dups_cluster(self, docs_df):
+        from alligator_spark.operators.dedup import simhash_dedup
+
+        comps = {
+            r["doc_id"]: r["component_id"]
+            for r in simhash_dedup(docs_df, "doc_id", "text", 3).collect()
+        }
+        assert comps[1] == comps[2]
+        assert comps[4] != comps[1]
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        # realistic shape: 5 tight clusters of 4 vectors (intra-cluster
+        # cosine ~0.99) so nearest neighbors are genuinely similar
+        rows = []
+        vid = 0
+        for _ in range(5):
+            center = rng.normal(size=16)
+            center /= np.linalg.norm(center)
+            for _ in range(4):
+                v = center + rng.normal(size=16) * 0.05
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        base0 = np.array(rows[0][1])
+        # 100&101: near-dups of vec 0
+        rows.append((100, [float(x) for x in base0 + 1e-3]))
+        rows.append((101, [float(x) for x in base0 * 1.001]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_force_topk(self, emb_df):
+        from alligator_spark.operators.similarity_search import brute_force_topk
+
+        q = emb_df.filter("vec_id = 0")
+        out = brute_force_topk(emb_df, q, k=3).collect()
+        assert len(out) == 3
+        top = sorted(out, key=lambda r: r["rank"])
+        assert {top[0]["neighbor_id"], top[1]["neighbor_id"]} == {100, 101}
+        assert top[0]["cos_sim"] > 0.999
+
+    def test_lsh_recall_vs_exact(self, emb_df):
+        from alligator_spark.operators.similarity_search import (
+            ann_recall,
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        q = emb_df.filter("vec_id < 3")
+        exact = brute_force_topk(emb_df, q, k=3)
+        ann = lsh_topk(emb_df, q, k=3, n_planes=8)
+        assert ann_recall(ann, exact) >= 0.5  # multi-probe on tiny corpus
+
+    def test_embedding_neardup(self, emb_df):
+        from alligator_spark.operators.dedup import embedding_neardup
+
+        comps = {
+            r["doc_id"]: r["component_id"]
+            for r in embedding_neardup(emb_df, "vec_id", "embedding", 0.99).collect()
+        }
+        assert comps[0] == comps[100] == comps[101]
+        assert comps[1] != comps[0]
+
+
+class TestTextAnalysis:
+    def test_token_stats(self, spark):
+        from alligator_spark.operators.text_analysis import token_stats
+
+        df = spark.createDataFrame([(1, "ab cd3 efg")], ["doc_id", "text"])
+        r = token_stats(df).collect()[0]
+        assert r["n_tokens"] == 3
+        assert r["n_chars_computed"] == 10
+        # wordpieces: ab / cd / 3 / efg (letter-digit boundary split)
+        assert r["n_wordpieces"] == 4
+
+    def test_lang_id(self, spark):
+        from alligator_spark.operators.text_analysis import lang_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is warm"),
+                (2, "der hund ist von dem haus und das ist gut"),
+                (3, "zzz qqq xxx"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+        assert got[1] == "en"
+        assert got[2] == "de"
+        assert got[3] == "und"
+
+    def test_quality_monotonic(self, spark):
+        from alligator_spark.operators.text_analysis import quality_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy dog near the river bank today"),
+                (2, "!!! ??? !!! ??? !!!"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+        assert got[1] > got[2]
+
+    def test_fingerprints_deterministic(self, spark):
+        from alligator_spark.operators.text_analysis import fingerprint_docs
+
+        df = spark.createDataFrame([(1, "hello world " * 10)], ["doc_id", "text"])
+        a = fingerprint_docs(df, "doc_id", "text").collect()[0]["fingerprint"]
+        b = fingerprint_docs(df, "doc_id", "text").collect()[0]["fingerprint"]
+        assert a == b and len(a) > 0
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, spark, smoke_docs):
+        from alligator_spark.operators.multimodal import (
+            decode_media,
+            frame_sample_plan,
+            media_table_from_docs,
+        )
+
+        media = media_table_from_docs(smoke_docs)
+        meta = decode_media(media, fake=True)
+        rows = meta.collect()
+        assert len(rows) == media.count()
+        assert all(r["n_bytes"] > 0 and r["checksum"] is not None for r in rows)
+        frames = frame_sample_plan(meta, every_ms=60000)
+        vids = [r for r in rows if r["kind"] == "video"]
+        if vids:
+            assert frames.count() >= len(vids)
+
+    def test_real_decode_is_stubbed(self, spark, smoke_docs):
+        from alligator_spark.operators.multimodal import (
+            decode_media,
+            media_table_from_docs,
+        )
+        from py4j.protocol import Py4JJavaError
+
+        media = media_table_from_docs(smoke_docs)
+        with pytest.raises(Exception) as ei:
+            decode_media(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
