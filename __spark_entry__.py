@@ -329,6 +329,61 @@ def q_date_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", F.round(simexpr, 6).alias("date_sim"))
 
 
+def q_row_filter_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 target_rows filter: keep only whitelisted ids (reference
+    alligator/manager/data.py:199-203)."""
+    docs = _t(spark, sf_dir, "documents")
+    whitelist = [1, 3, 5, 8, 13, 21, 34, 55, 89, 144]
+    return docs.filter(F.col("doc_id").isin(whitelist)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set algebra over tables: users seen in 'click' events EXCEPT
+    users seen in 'purchase' events, INTERSECT with high-value users."""
+    e = _t(spark, sf_dir, "events")
+    types = [r["event_type"] for r in e.select("event_type").distinct().collect()]
+    t1, t2 = sorted(types)[0], sorted(types)[-1]
+    a = e.filter(F.col("event_type") == t1).select("user_id").distinct()
+    b = e.filter(F.col("event_type") == t2).select("user_id").distinct()
+    hi = e.filter(F.col("value") > 50).select("user_id").distinct()
+    return a.exceptAll(b).intersect(hi)
+
+
+def q_arrays_overlap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi-join via array intersection: docs sharing >=2 tokens with a
+    probe token set (reference alligator/feature.py:293-311)."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = ["spark", "join", "shuffle", "partition", "query"]
+    toks = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    overlap = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in probe])))
+    return docs.select("doc_id", overlap.alias("n_shared")).filter(
+        F.col("n_shared") >= 2
+    )
+
+
+def q_sorted_freq_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/T4: per event_type, the top-5 per-user event counts sorted desc
+    (sorted feature lists, reference alligator/ml.py:166-199) — exploded
+    to rows for cross-engine comparison."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .select("event_type", "rk", "cnt")
+    )
+
+
+def q_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/T5: deterministic 32-row sample scan (order-then-limit; the
+    reference's nrows=32 schema-inference sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").limit(32).select("doc_id", "lang", "n_chars")
+
+
 # ------------------------------------------------- dedup / ANN (rows-only)
 
 
@@ -424,6 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "number_sim_lag": q_number_sim_lag,
         "date_sim": q_date_sim,
+        "row_filter_whitelist": q_row_filter_whitelist,
+        "set_ops": q_set_ops,
+        "arrays_overlap_semijoin": q_arrays_overlap_semijoin,
+        "sorted_freq_lists": q_sorted_freq_lists,
+        "sample_scan": q_sample_scan,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
@@ -555,6 +615,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_counts": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
+        "row_filter_whitelist": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN (1, 3, 5, 8, 13, 21, 34, 55, 89, 144)
+        """,
+        "set_ops": """
+            WITH types AS (SELECT min(event_type) t1, max(event_type) t2 FROM events)
+            (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t1 FROM types)
+             EXCEPT
+             SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t2 FROM types))
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE value > 50
+        """,
+        "arrays_overlap_semijoin": """
+            SELECT doc_id, n_shared FROM (
+              SELECT doc_id,
+                     len(list_intersect(
+                         list_distinct(string_split_regex(trim(text), '\\s+')),
+                         ['spark','join','shuffle','partition','query'])) AS n_shared
+              FROM documents)
+            WHERE n_shared >= 2
+        """,
+        "sorted_freq_lists": """
+            SELECT event_type, rk, cnt FROM (
+              SELECT event_type, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                         ORDER BY cnt DESC, user_id ASC) AS rk
+              FROM (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY event_type, user_id))
+            WHERE rk <= 5
+        """,
+        "sample_scan": """
+            SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 32
+        """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

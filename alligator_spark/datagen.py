@@ -56,12 +56,20 @@ from functools import lru_cache
 
 @lru_cache(maxsize=8)
 def _vocab(size: int = 2000) -> list[str]:
-    """Deterministic vocabulary of `size` DISTINCT syllable words."""
+    """Deterministic vocabulary of `size` DISTINCT syllable words.
+
+    2-4 syllables from a 30-syllable inventory -> ~8.4e5 distinct words of
+    capacity; sizes are capped well below that so rejection sampling
+    terminates fast.
+    """
+    cap = 500_000
+    if size > cap:
+        raise ValueError(f"vocab size {size} exceeds generator capacity {cap}")
     rng = np.random.RandomState(123457)
     words: list[str] = []
     seen = set()
     while len(words) < size:
-        k = 2 + int(rng.randint(0, 2))
+        k = 2 + int(rng.randint(0, 3))
         w = "".join(_SYLLABLES[rng.randint(0, len(_SYLLABLES))] for _ in range(k))
         if w not in seen:
             seen.add(w)

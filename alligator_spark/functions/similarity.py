@@ -29,6 +29,8 @@ reference); standard Winkler variant with p=0.1, max prefix 4.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from dateutil.parser import parse as _dateutil_parse
@@ -58,21 +60,96 @@ def token_overlap(s1: str, s2: str) -> float:
     return len(a & b) / max(len(a), len(b), 1)
 
 
+# ------------------------------------------- fast n-gram hash arrays
+#
+# The set-based get_ngrams/ngram_overlap above pin the REFERENCE semantics
+# (and serve tests/small inputs). The kernel hot path uses uint32-hash
+# numpy arrays instead: identical overlap values (modulo ~2^-32 collision
+# probability) with no per-gram PyObject allocation — Python set churn
+# saturates the memory subsystem past ~8 concurrent workers.
+
+
+def ngram_hash_array(text: str, n: int | None = 3) -> np.ndarray:
+    """Sorted unique uint32 hashes of get_ngrams(text, n).
+
+    n=3 fast path: vectorized byte-window hashing for ASCII strings
+    (windows containing the space separator are excluded == per-token
+    trigrams). Non-ASCII or n!=3 falls back to hashing the exact
+    reference gram set.
+    """
+    if n == 3:
+        # pack 3 codepoints into 63 bits (21 bits each, exact — collision
+        # free); ascii strings take the vectorized byte-window route, any
+        # other string the per-gram loop; both land in the same hash space
+        if text.isascii():
+            bs = text.encode()
+            if len(bs) < 3:
+                return np.zeros(0, dtype=np.uint64)
+            arr = np.frombuffer(bs, dtype=np.uint8).astype(np.uint64)
+            h = (arr[:-2] << np.uint64(42)) | (arr[1:-1] << np.uint64(21)) | arr[2:]
+            space = arr == 32
+            mask = ~(space[:-2] | space[1:-1] | space[2:])
+            return np.unique(h[mask])
+        grams = get_ngrams(text, 3)
+        if not grams:
+            return np.zeros(0, dtype=np.uint64)
+        return np.unique(
+            np.fromiter(
+                (
+                    (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+        )
+    import zlib
+
+    grams = get_ngrams(text, n)
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+    )
+
+
+def token_hash_array(text: str) -> np.ndarray:
+    """Sorted unique uint32 crc32 hashes of the whitespace tokens."""
+    import zlib
+
+    toks = {t for t in text.split(" ")}
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+    )
+
+
+def hash_overlap(a: np.ndarray, b: np.ndarray) -> float:
+    """|A∩B| / max(|A|,|B|,1) over sorted-unique hash arrays.
+
+    searchsorted membership — ~3 C calls, no concatenate/argsort
+    (np.intersect1d costs ~4x more on the tiny arrays this sees).
+    """
+    if a.size > b.size:
+        a, b = b, a
+    if not b.size:
+        return 0.0
+    if not a.size:
+        return 0.0
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0  # out-of-range probes can't match b[0] (sorted)
+    inter = int(np.count_nonzero(b[idx] == a))
+    return inter / b.size
+
+
 # ------------------------------------------------------------ levenshtein
 
-def levenshtein(s1: str, s2: str) -> int:
-    """Plain Levenshtein distance (insert/delete/substitute cost 1).
-
-    Vectorized DP: O(len(s1)) numpy passes using the
-    ``min over k<=j of cur[k] + (j-k)`` prefix-min trick for insertions.
-    """
-    if s1 == s2:
-        return 0
+def _levenshtein_dp(s1: str, s2: str) -> int:
+    """Fallback O(len1) numpy-pass DP (used for strings > 64 chars)."""
     l2 = len(s2)
-    if not s1:
-        return l2
-    if not s2:
-        return len(s1)
     arr2 = np.array(list(s2))
     prev = np.arange(l2 + 1)
     ar = np.arange(l2 + 1)
@@ -85,12 +162,57 @@ def levenshtein(s1: str, s2: str) -> int:
     return int(prev[-1])
 
 
+@lru_cache(maxsize=1 << 16)
+def levenshtein(s1: str, s2: str) -> int:
+    """Plain Levenshtein distance (insert/delete/substitute cost 1).
+
+    Myers' bit-parallel algorithm (O(len2) word operations) for patterns
+    up to 64 chars; numpy DP fallback beyond.
+    """
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    m = len(s1)
+    if m > 64:
+        return _levenshtein_dp(s1, s2)
+    peq: dict[str, int] = {}
+    for i, c in enumerate(s1):
+        peq[c] = peq.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    last = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for c in s2:
+        eq = peq.get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & last:
+            score += 1
+        if mh & last:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+@lru_cache(maxsize=1 << 16)
 def levenshtein_norm(s1: str, s2: str) -> float:
     return levenshtein(s1, s2) / max(len(s1), len(s2), 1)
 
 
 # ------------------------------------------------------------ jaro-winkler
 
+@lru_cache(maxsize=1 << 16)
 def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
     if s1 == s2:
         return 1.0
@@ -135,6 +257,7 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
 
 # --------------------------------------------------------- numbers / dates
 
+@lru_cache(maxsize=1 << 16)
 def number_similarity(v1, v2) -> float:
     try:
         a = float(v1)
@@ -144,6 +267,7 @@ def number_similarity(v1, v2) -> float:
         return 0.0
 
 
+@lru_cache(maxsize=1 << 16)
 def parse_date(str_date):
     """Multi-fallback date parse (reference alligator/utils.py:78-111)."""
     try:
@@ -167,6 +291,7 @@ def parse_date(str_date):
         return None
 
 
+@lru_cache(maxsize=1 << 16)
 def date_similarity(d1, d2) -> float:
     try:
         a = parse_date(d1)

@@ -33,10 +33,21 @@ from alligator_spark.functions.textnorm import token_sort_key_col
 
 @dataclass(frozen=True)
 class BlockingConfig:
-    prefix_tokens: int = 2
+    # rows = hashes // bands; 4x4 keeps random-pair band collisions at
+    # ~(j_bg^4)*4 (negligible for background shingle-jaccard ~0.05) while
+    # the per-token keys carry typo recall (a typo alters one token; the
+    # others still match exactly). 8x2 at 50k docs produced 6.7M candidate
+    # pairs from random band collisions -- quadratic death at corpus scale.
     minhash_hashes: int = 16
-    minhash_bands: int = 8  # rows = hashes // bands = 2
+    minhash_bands: int = 4
     minhash_seed: int = 7
+    # R4 fuzzy retry: docs that produced zero candidate pairs get a looser
+    # second blocking pass (more bands, fewer rows -> higher recall)
+    fuzzy_bands: int = 8
+    fuzzy_enabled: bool = True
+    # include the first-P-sorted-tokens key family (subsumed by per-token
+    # keys; off by default, kept for corpora where hot tokens get dropped)
+    prefix_tokens: int | None = None
 
 
 def block_keys(normalized: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
@@ -51,14 +62,18 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig | None = None) -> Data
         ),
         F.lit("token_sort").alias("key_kind"),
     )
-    tok_prefix = base.select(
-        "doc_id",
-        F.concat(
-            F.lit("tp:"),
-            token_sort_key_col(F.col("norm_mention"), cfg.prefix_tokens),
-        ).alias("block_key"),
-        F.lit("token_prefix").alias("key_kind"),
-    )
+    parts = [tok_full]
+    if cfg.prefix_tokens:
+        parts.append(
+            base.select(
+                "doc_id",
+                F.concat(
+                    F.lit("tp:"),
+                    token_sort_key_col(F.col("norm_mention"), cfg.prefix_tokens),
+                ).alias("block_key"),
+                F.lit("token_prefix").alias("key_kind"),
+            )
+        )
 
     nh, nb, seed = cfg.minhash_hashes, cfg.minhash_bands, cfg.minhash_seed
 
@@ -79,5 +94,68 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig | None = None) -> Data
     ).select(
         "doc_id", F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"), "key_kind"
     )
+    parts += [mh, tok_each]
 
-    return tok_full.unionByName(tok_prefix).unionByName(mh).unionByName(tok_each)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fuzzy_rescue_pairs(
+    normalized: DataFrame,
+    pairs: DataFrame,
+    cfg: BlockingConfig | None = None,
+    max_block_size: int = 256,
+) -> DataFrame:
+    """R4 fuzzy retry (reference alligator/processors.py:169-198): docs
+    that landed in NO candidate pair get a looser MinHash pass (same
+    signature, more bands / fewer rows) and are paired against any doc
+    sharing a loose band.
+
+    The lonely side is small by construction, so the band join is cheap;
+    oversized loose buckets are dropped (they would pair a lonely doc
+    with everything — no evidence value).
+    Returns extra (doc_a, doc_b, block_key) rows, disjoint from `pairs`.
+    """
+    cfg = cfg or BlockingConfig()
+    participating = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    lonely = normalized.select("doc_id", "norm_mention").join(
+        participating, "doc_id", "left_anti"
+    )
+
+    nh, nb, seed = cfg.minhash_hashes, cfg.fuzzy_bands, cfg.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def fz_keys(s: pd.Series) -> pd.Series:
+        return pd.Series(minhash_band_keys(s.tolist(), nh, nb, seed))
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(fz_keys(F.col("norm_mention"))).alias("block_key")
+        ).withColumn("block_key", F.concat(F.lit("fz:"), F.col("block_key")))
+
+    all_keys = keyed(normalized)
+    sizes = all_keys.groupBy("block_key").agg(F.count("*").alias("sz"))
+    all_keys = all_keys.join(sizes, "block_key").filter(
+        (F.col("sz") > 1) & (F.col("sz") <= max_block_size)
+    )
+    lonely_keys = all_keys.join(lonely.select("doc_id"), "doc_id", "left_semi")
+
+    extra = (
+        lonely_keys.select("block_key", F.col("doc_id").alias("l"))
+        .join(all_keys.select("block_key", F.col("doc_id").alias("o")), "block_key")
+        .filter(F.col("l") != F.col("o"))
+        .select(
+            F.least("l", "o").alias("doc_a"),
+            F.greatest("l", "o").alias("doc_b"),
+            "block_key",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    return extra.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")

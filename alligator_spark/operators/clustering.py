@@ -73,6 +73,8 @@ def connected_components(
     cur = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).distinct()
+    # localCheckpoint per round: materializes AND truncates lineage (a
+    # lazy persist chain would re-derive every prior round on access)
     cur = cur.localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iter):

@@ -96,7 +96,14 @@ def minhash_lsh_dedup(
     pairs = _pairs_from_buckets(keyed, id_col)
     texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
     texts_b = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb"))
-    enriched = pairs.join(texts_a, "a").join(texts_b, "b")
+    sc = df.sparkSession.sparkContext
+    # keep the Python verify stage spread across cores (AQE would coalesce
+    # the small bucket-join output to one task — see scoring.score_pairs)
+    enriched = (
+        pairs.join(texts_a, "a")
+        .join(texts_b, "b")
+        .repartition(max(sc.defaultParallelism * 2, 8))
+    )
 
     @F.pandas_udf(T.DoubleType())
     def jac3(sa: pd.Series, sb: pd.Series) -> pd.Series:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -91,6 +92,11 @@ def _close(x: float, lo: float) -> float:
     return min(max((x - lo) / (1.0 - lo), 0.0), 1.0)
 
 
+@lru_cache(maxsize=1 << 16)
+def _ngram3_cached(a: str, b: str) -> float:
+    return sim.ngram_overlap(a, b, 3)
+
+
 @dataclass(frozen=True)
 class ScoringConfig:
     strong: float = MATCH_STRONG_SCORE
@@ -99,10 +105,21 @@ class ScoringConfig:
     ratio: float = MATCH_RATIO_THRESHOLD
 
 
-_RESULT_TYPE = T.StructType(
-    [T.StructField(n, T.DoubleType()) for n in FEATURE_NAMES]
-    + [T.StructField("score", T.DoubleType())]
-)
+# features computed in the (light) pandas UDF; the overlap features are
+# JVM-side array_intersect expressions
+_PY_FEATURES = [
+    "ed_score",
+    "jw_score",
+    "lit_num_sim",
+    "lit_date_sim",
+    "lit_str_sim",
+    "lit_num_close",
+    "lit_date_close",
+    "p_subj_lit_datatype",
+    "p_subj_lit_all_datatype",
+]
+
+_RESULT_TYPE = T.StructType([T.StructField(n, T.DoubleType()) for n in _PY_FEATURES])
 
 
 def _lit_sims(nums_a, nums_b, dates_a, dates_b, strs_a, strs_b):
@@ -122,42 +139,36 @@ def _lit_sims(nums_a, nums_b, dates_a, dates_b, strs_a, strs_b):
         parts.append(date)
     if len(strs_a) and len(strs_b):
         s = max(
-            sim.ngram_overlap(str(x), str(y), 3) for x in strs_a for y in strs_b
+            _ngram3_cached(str(x), str(y)) for x in strs_a for y in strs_b
         )
         parts.append(s)
     if not parts:
         return 0.0, 0.0, 0.0, 0.0, 0.0
-    return num, date, s, float(np.mean(parts)), float(max(parts))
+    return num, date, s, sum(parts) / len(parts), max(parts)
 
 
 def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Python half of the battery: levenshtein, jaro-winkler, literal
+    similarities (reference-exact, lru-cached scalar kernels). All
+    overlap/count features run JVM-side — see score_pairs."""
     n = len(pdf)
-    cols = {name: np.zeros(n) for name in FEATURE_NAMES}
-    cols["score"] = np.zeros(n)
-    ma = pdf["mention_a"].values
-    mb = pdf["mention_b"].values
-    ra = pdf["row_text_a"].values
-    rb = pdf["row_text_b"].values
+    cols = {name: np.zeros(n) for name in _PY_FEATURES}
+    ma = pdf["mention_a"].tolist()
+    mb = pdf["mention_b"].tolist()
+    lna = pdf["lit_numbers_a"].tolist()
+    lnb = pdf["lit_numbers_b"].tolist()
+    lda = pdf["lit_dates_a"].tolist()
+    ldb = pdf["lit_dates_b"].tolist()
+    lsa = pdf["lit_strings_a"].tolist()
+    lsb = pdf["lit_strings_b"].tolist()
+
     for i in range(n):
         a = ma[i] or ""
         b = mb[i] or ""
-        cols["ntoken_mention"][i] = len(a.split(" "))
-        cols["ntoken_entity"][i] = len(b.split(" "))
-        cols["length_mention"][i] = len(a)
-        cols["length_entity"][i] = len(b)
         cols["ed_score"][i] = 1.0 - sim.levenshtein_norm(a, b)
-        cols["jaccard_score"][i] = sim.token_overlap(a, b)
-        cols["jaccardNgram_score"][i] = sim.ngram_overlap(a, b, 3)
         cols["jw_score"][i] = sim.jaro_winkler(a, b)
-        cols["desc"][i] = sim.ngram_overlap(ra[i] or "", rb[i] or "", None)
-        cols["descNgram"][i] = sim.ngram_overlap(ra[i] or "", rb[i] or "", 3)
         lit_num, lit_date, lit_str, lit_mean, lit_max = _lit_sims(
-            pdf["lit_numbers_a"].iat[i],
-            pdf["lit_numbers_b"].iat[i],
-            pdf["lit_dates_a"].iat[i],
-            pdf["lit_dates_b"].iat[i],
-            pdf["lit_strings_a"].iat[i],
-            pdf["lit_strings_b"].iat[i],
+            lna[i], lnb[i], lda[i], ldb[i], lsa[i], lsb[i]
         )
         cols["lit_num_sim"][i] = lit_num
         cols["lit_date_sim"][i] = lit_date
@@ -167,12 +178,63 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         cols["lit_date_close"][i] = _close(lit_date, 0.999)
         cols["p_subj_lit_datatype"][i] = lit_mean
         cols["p_subj_lit_all_datatype"][i] = lit_max
-        cols["p_subj_lit_row"][i] = sim.token_overlap(ra[i] or "", rb[i] or "")
-    s = np.zeros(n)
-    for name, w in SCORE_WEIGHTS.items():
-        s = s + w * cols[name]
-    cols["score"] = 1.0 / (1.0 + np.exp(-SCORE_SLOPE * (s - SCORE_CENTER)))
     return pd.DataFrame(cols)
+
+
+_SIDE_ARRAYS_TYPE = T.StructType(
+    [
+        T.StructField("g3_m", T.ArrayType(T.LongType())),
+        T.StructField("tok_m", T.ArrayType(T.LongType())),
+        T.StructField("g3_r", T.ArrayType(T.LongType())),
+        T.StructField("gw_r", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def featurize_sides(normalized: DataFrame) -> DataFrame:
+    """Precompute per-DOC hash arrays (mention 3-grams/tokens, row-text
+    3-grams/whole-token grams) once — O(docs), not O(pairs). The pair
+    battery then only does array intersections; recomputing n-gram sets
+    per pair was the dominant cost (each doc appears in ~dozens of pairs
+    and random repartitioning defeats batch-local caches)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"g3_m": [], "tok_m": [], "g3_r": [], "gw_r": []}
+            for m, r in zip(pdf["norm_mention"], pdf["row_text"]):
+                m = m or ""
+                r = r or ""
+                out["g3_m"].append(sim.ngram_hash_array(m, 3).astype(np.int64))
+                out["tok_m"].append(sim.token_hash_array(m).astype(np.int64))
+                out["g3_r"].append(sim.ngram_hash_array(r, 3).astype(np.int64))
+                out["gw_r"].append(sim.ngram_hash_array(r, None).astype(np.int64))
+            res = pdf[["doc_id", "norm_mention", "row_text",
+                       "lit_numbers", "lit_dates", "lit_strings"]].copy()
+            for k, v in out.items():
+                res[k] = v
+            yield res
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("norm_mention", T.StringType()),
+            T.StructField("row_text", T.StringType()),
+            T.StructField("lit_numbers", T.ArrayType(T.StringType())),
+            T.StructField("lit_dates", T.ArrayType(T.StringType())),
+            T.StructField("lit_strings", T.ArrayType(T.StringType())),
+        ]
+        + list(_SIDE_ARRAYS_TYPE.fields)
+    )
+    cols = [
+        "doc_id", "norm_mention", "row_text", "lit_numbers", "lit_dates", "lit_strings"
+    ]
+    return normalized.select(*cols).mapInPandas(run, schema=schema)
+
+
+_SIDE_COLS = [
+    "norm_mention", "row_text", "lit_numbers", "lit_dates", "lit_strings",
+    "g3_m", "tok_m", "g3_r", "gw_r",
+]
 
 
 def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
@@ -180,25 +242,58 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
 
     Output: (doc_a, doc_b, block_key, features map, score).
     """
-    feats = normalized.select(
-        "doc_id", "norm_mention", "row_text", "lit_numbers", "lit_dates", "lit_strings"
-    )
+    feats = featurize_sides(normalized)
 
     def side(suffix: str):
+        alias = {"norm_mention": "mention"}
         return feats.select(
             F.col("doc_id").alias(f"doc_{suffix}"),
-            F.col("norm_mention").alias(f"mention_{suffix}"),
-            F.col("row_text").alias(f"row_text_{suffix}"),
-            F.col("lit_numbers").alias(f"lit_numbers_{suffix}"),
-            F.col("lit_dates").alias(f"lit_dates_{suffix}"),
-            F.col("lit_strings").alias(f"lit_strings_{suffix}"),
+            *[
+                F.col(c).alias(f"{alias.get(c, c)}_{suffix}")
+                for c in _SIDE_COLS
+            ],
         )
 
     enriched = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    # AQE targets ~64MB partitions — right for JVM operators, wrong for a
+    # CPU-bound Python stage (a 25MB pair table coalesces to ONE task and
+    # serializes the whole battery). Spread explicitly across cores.
+    sc = pairs.sparkSession.sparkContext
+    enriched = enriched.repartition(max(sc.defaultParallelism * 2, 8))
 
-    in_cols = [
-        "mention_a", "mention_b", "row_text_a", "row_text_b",
-        "lit_numbers_a", "lit_numbers_b", "lit_dates_a", "lit_dates_b",
+    def ov(a: str, b: str):
+        """|A∩B| / max(|A|,|B|,1) on precomputed hash arrays — pure JVM
+        (whole-stage codegen), zero Python."""
+        return F.size(F.array_intersect(F.col(a), F.col(b))) / F.greatest(
+            F.size(F.col(a)), F.size(F.col(b)), F.lit(1)
+        )
+
+    jvm_feats = {
+        "ntoken_mention": F.size(F.split("mention_a", " ")).cast("double"),
+        "ntoken_entity": F.size(F.split("mention_b", " ")).cast("double"),
+        "length_mention": F.length("mention_a").cast("double"),
+        "length_entity": F.length("mention_b").cast("double"),
+        "jaccard_score": ov("tok_m_a", "tok_m_b"),
+        "jaccardNgram_score": ov("g3_m_a", "g3_m_b"),
+        "desc": ov("gw_r_a", "gw_r_b"),
+        "descNgram": ov("g3_r_a", "g3_r_b"),
+        "p_subj_lit_row": F.size(
+            F.array_intersect(
+                F.split("row_text_a", " "), F.split("row_text_b", " ")
+            )
+        )
+        / F.greatest(
+            F.size(F.array_distinct(F.split("row_text_a", " "))),
+            F.size(F.array_distinct(F.split("row_text_b", " "))),
+            F.lit(1),
+        ),
+    }
+
+    # light Python half: levenshtein + jaro-winkler + literal sims
+    py_in = [
+        "mention_a", "mention_b",
+        "lit_numbers_a", "lit_numbers_b",
+        "lit_dates_a", "lit_dates_b",
         "lit_strings_a", "lit_strings_b",
     ]
 
@@ -207,16 +302,28 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
         for pdf in it:
             yield _score_batch(pdf)
 
-    battery_in = F.struct(*[F.col(c) for c in in_cols])
-    scored = enriched.withColumn("_f", battery(battery_in)).select(
+    withf = enriched.withColumns(jvm_feats).withColumn(
+        "_f", battery(F.struct(*py_in))
+    )
+    feat_col = {
+        n: (F.col(f"_f.{n}") if n in _PY_FEATURES else F.col(n))
+        for n in FEATURE_NAMES
+    }
+    lin = sum(
+        (w * feat_col[name] for name, w in SCORE_WEIGHTS.items()), F.lit(0.0)
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.lit(SCORE_SLOPE) * (lin - F.lit(SCORE_CENTER)))
+    )
+    scored = withf.select(
         "doc_a",
         "doc_b",
         "block_key",
         F.map_from_arrays(
             F.array(*[F.lit(n) for n in FEATURE_NAMES]),
-            F.array(*[F.col(f"_f.{n}") for n in FEATURE_NAMES]),
+            F.array(*[feat_col[n] for n in FEATURE_NAMES]),
         ).alias("features"),
-        F.col("_f.score").alias("score"),
+        score.alias("score"),
     )
     return scored
 

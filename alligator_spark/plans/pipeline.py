@@ -19,7 +19,11 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alligator_spark.operators.blocking import BlockingConfig, block_keys
+from alligator_spark.operators.blocking import (
+    BlockingConfig,
+    block_keys,
+    fuzzy_rescue_pairs,
+)
 from alligator_spark.operators.clustering import connected_components
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.pairs import PairConfig, candidate_pairs
@@ -47,12 +51,21 @@ def run_linkage(
     spark: SparkSession, docs: DataFrame, cfg: PipelineConfig | None = None
 ) -> dict[str, DataFrame]:
     """Uncheckpointed composition of all five stages (for tests/benchmarks
-    and embedding in other plans); same dataflow as run_pipeline."""
+    and embedding in other plans); same dataflow as run_pipeline.
+
+    Reused intermediates are persisted: accept_edges reads the scored
+    edges from three plan branches and clustering iterates — without a
+    persist the pandas-UDF battery would re-run per branch (the
+    checkpointed run_pipeline gets the same effect from its stage tables).
+    """
     cfg = cfg or PipelineConfig()
-    normalized = normalize_docs(docs)
+    normalized = normalize_docs(docs).persist()
     keys = block_keys(normalized, cfg.blocking)
     pairs, _ = candidate_pairs(keys, cfg.pairs)
-    scored = accept_edges(score_pairs(pairs, normalized), cfg.scoring)
+    if cfg.blocking.fuzzy_enabled:
+        pairs = pairs.persist()
+        pairs = pairs.unionByName(fuzzy_rescue_pairs(normalized, pairs, cfg.blocking))
+    scored = accept_edges(score_pairs(pairs, normalized).persist(), cfg.scoring)
     components = connected_components(
         scored.filter("accepted").select("doc_a", "doc_b"),
         all_nodes=normalized.select("doc_id"),
@@ -93,9 +106,17 @@ def run_pipeline(
 
     normalized = stage("normalized", lambda: normalize_docs(docs))
     keys = stage("block_keys", lambda: block_keys(normalized, cfg.blocking))
-    pairs = stage(
-        "candidate_edges", lambda: candidate_pairs(keys, cfg.pairs)[0]
-    )
+
+    def build_pairs():
+        base, _ = candidate_pairs(keys, cfg.pairs)
+        if not cfg.blocking.fuzzy_enabled:
+            return base
+        base = base.persist()  # read twice: rescue probe + union
+        return base.unionByName(
+            fuzzy_rescue_pairs(normalized, base, cfg.blocking)
+        )
+
+    pairs = stage("candidate_edges", build_pairs)
     scored = stage(
         "scored_edges",
         lambda: accept_edges(score_pairs(pairs, normalized), cfg.scoring),

@@ -63,7 +63,9 @@ class CheckpointManager:
     def _write_lineage(self, df: DataFrame, stage: str, wall_ms: int):
         cols = df.columns
         edge_count = (
-            F.count("*") if "doc_a" in cols or "src" in cols else F.lit(0)
+            F.count("*")
+            if "doc_a" in cols or "src" in cols
+            else F.lit(0).cast("long")
         )
         lineage = (
             df.withColumn("partition_id", F.spark_partition_id())

@@ -1,0 +1,109 @@
+"""Two-cluster-size scaling evidence (sandbox protocol per BASELINE.md).
+
+The north rule requires throughput scaling efficiency >= 0.8 between N
+and 4N executors; with no real cluster available, the sandbox protocol
+runs the identical linkage job at local[8] and local[32] on the same
+deterministic corpus and reports docs/sec at both plus
+efficiency = (docs_sec_32 / docs_sec_8) / 4.
+
+Each parallelism level runs in its own subprocess (one JVM per master
+setting). Wall time excludes session startup (a warmup job runs first)
+— on a real cluster that is executor provisioning, not query time.
+
+Usage:
+    python scaling_bench.py [--spec 50000x5+50000] [--out BENCH_SCALING.md]
+    python scaling_bench.py --single-run <cores> <spec>   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def single_run(cores: int, spec_str: str) -> None:
+    from alligator_spark.cli import parse_spec
+    from alligator_spark.datagen import generate_docs
+    from alligator_spark.plans.pipeline import run_linkage
+    from alligator_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
+    spark.range(1000).selectExpr("sum(id)").collect()  # warmup
+    spec = parse_spec(spec_str)
+    t0 = time.monotonic()
+    docs = generate_docs(spark, spec)
+    out = run_linkage(spark, docs)
+    n = out["components"].count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "docs": spec.n_docs,
+                "rows": n,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(spec.n_docs / wall, 1),
+            }
+        )
+    )
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--single-run":
+        single_run(int(sys.argv[2]), sys.argv[3])
+        return 0
+
+    spec = "50000x5+50000"
+    out_md = "BENCH_SCALING.md"
+    args = sys.argv[1:]
+    if "--spec" in args:
+        spec = args[args.index("--spec") + 1]
+    if "--out" in args:
+        out_md = args[args.index("--out") + 1]
+
+    results = {}
+    for cores in (8, 32):
+        print(f"running local[{cores}] on {spec} ...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run", str(cores), spec],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    summary = {
+        "spec": spec,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(out_md, "w") as f:
+        f.write(
+            "# BENCH_SCALING — two-parallelism throughput evidence\n\n"
+            "Sandbox protocol for the north rule's two-cluster-size criterion\n"
+            "(no real cluster available): the identical linkage job runs at\n"
+            "local[8] and local[32] on the same deterministic corpus.\n\n"
+            f"- corpus spec: `{spec}` ({results[8]['docs']} docs)\n"
+            f"- local[8]:  {results[8]['wall_sec']} s -> "
+            f"{results[8]['docs_per_sec']} docs/s\n"
+            f"- local[32]: {results[32]['wall_sec']} s -> "
+            f"{results[32]['docs_per_sec']} docs/s\n"
+            f"- scaling efficiency = (docs/s@32 / docs/s@8) / 4 = "
+            f"**{eff:.3f}** (target >= 0.8: "
+            f"{'PASS' if eff >= 0.8 else 'FAIL'})\n"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

