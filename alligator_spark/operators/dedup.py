@@ -7,11 +7,16 @@ verify -> connected components -> representative pick. No driver-side
 loops; everything shuffles on bucket keys.
 
 * exact_dedup          — hash-groupBy on normalized text (one shuffle)
-* minhash_lsh_dedup    — shingle -> MinHash -> band bucket join -> verify
+* minhash_lsh_dedup    — shingle -> MinHash -> band bucket join -> exact
+  n-gram Jaccard verify inside the buckets
 * simhash_dedup        — 64-bit SimHash, banded by 16-bit chunks, verify
   by Hamming distance
-* ngram_jaccard_dedup  — exact n-gram Jaccard verify inside LSH buckets
 * embedding_neardup    — cosine near-dup via random-hyperplane LSH buckets
+
+Oversize buckets (heavy-hitter duplicates — boilerplate repeated 10^4+
+times) are never dropped: ``_pairs_from_buckets`` salt-splits them and
+keeps them connected through a representative chain, recording split
+counts for lineage.
 """
 
 from __future__ import annotations
@@ -44,19 +49,87 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pairs_from_buckets(keyed: DataFrame, id_col: str, max_bucket: int = 256) -> DataFrame:
-    """(id, bucket_key) -> candidate pairs (a < b), oversized buckets dropped."""
-    sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
-    keyed = keyed.join(sizes, "bucket_key").filter(
-        (F.col("sz") > 1) & (F.col("sz") <= max_bucket)
+def _pairs_from_buckets(
+    keyed: DataFrame, id_col: str, max_bucket: int = 256
+) -> tuple[DataFrame, DataFrame]:
+    """(id, bucket_key) -> (candidate pairs (a < b), bucket stats).
+
+    Buckets up to ``max_bucket`` pair all-vs-all. Larger buckets are NOT
+    dropped (a document duplicated 10,000x is exactly what a 100 TB dedup
+    run must catch — the most frequent boilerplate lands in the biggest
+    buckets): they are *salt-split* into ``g = ceil(sz / max_bucket)``
+    groups by ``crc32(id) % g``, pairing all-vs-all within (bucket, salt),
+    PLUS a representative chain — each salt group's min-id is paired with
+    the bucket's global min-id — so the bucket stays one connected
+    component when its members truly match (CC merges transitively).
+    Per-bucket work is O(sz * max_bucket) instead of O(sz^2), and nothing
+    is silently lost; the returned ``stats`` (bucket_key, sz, n_salts)
+    feeds lineage (mirrors pairs.candidate_pairs' block_stats).
+    """
+    sizes = keyed.groupBy("bucket_key").agg(
+        F.count("*").alias("sz"), F.min(id_col).alias("bucket_rep")
     )
-    a = keyed.select(F.col("bucket_key"), F.col(id_col).alias("a"))
-    b = keyed.select(F.col("bucket_key"), F.col(id_col).alias("b"))
-    return (
-        a.join(b, "bucket_key")
+    stats = sizes.withColumn(
+        "n_salts",
+        F.when(
+            F.col("sz") > max_bucket,
+            F.ceil(F.col("sz") / max_bucket).cast("int"),
+        ).otherwise(F.lit(1)),
+    )
+    keyed = (
+        keyed.join(stats, "bucket_key")
+        .filter(F.col("sz") > 1)
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("n_salts")).cast(
+                    "int"
+                )
+            ),
+        )
+        .select("bucket_key", "salt", F.col(id_col).alias("_id"), "bucket_rep", "n_salts")
+    )
+    a = keyed.select("bucket_key", "salt", F.col("_id").alias("a"))
+    b = keyed.select("bucket_key", "salt", F.col("_id").alias("b"))
+    within = (
+        a.join(b, ["bucket_key", "salt"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+    )
+    # representative chain for split buckets: salt-group min-id <-> bucket min-id
+    chain = (
+        keyed.filter(F.col("n_salts") > 1)
+        .groupBy("bucket_key", "salt", "bucket_rep")
+        .agg(F.min("_id").alias("salt_rep"))
+        .filter(F.col("salt_rep") != F.col("bucket_rep"))
+        .select(
+            F.least("salt_rep", "bucket_rep").alias("a"),
+            F.greatest("salt_rep", "bucket_rep").alias("b"),
+        )
+    )
+    pairs = within.unionByName(chain).distinct()
+    return pairs, stats.select("bucket_key", "sz", "n_salts")
+
+
+def _record_bucket_stats(stats: DataFrame, stats_acc: dict | None) -> None:
+    """Optionally aggregate bucket lineage counts into ``stats_acc``
+    (n_buckets / split_buckets / oversize_docs) — one tiny extra job over
+    the per-bucket table; skipped when the caller doesn't ask."""
+    if stats_acc is None:
+        return
+    row = stats.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n_salts") > 1).cast("long")).alias("split_buckets"),
+        F.sum(F.when(F.col("n_salts") > 1, F.col("sz")).otherwise(0)).alias(
+            "oversize_docs"
+        ),
+    ).collect()[0]
+    stats_acc.update(
+        {
+            "n_buckets": int(row["n_buckets"] or 0),
+            "split_buckets": int(row["split_buckets"] or 0),
+            "oversize_docs": int(row["oversize_docs"] or 0),
+        }
     )
 
 
@@ -87,13 +160,16 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int = 256,
+    stats_acc: dict | None = None,
 ) -> DataFrame:
     """Near-dup clusters: MinHash band buckets -> exact 3-gram Jaccard
     verify >= threshold -> connected components.
 
     Returns (id, component_id)."""
     keyed = minhash_buckets(df, id_col, text_col, num_hashes, bands)
-    pairs = _pairs_from_buckets(keyed, id_col)
+    pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
+    _record_bucket_stats(stats, stats_acc)
     texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
     texts_b = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb"))
     sc = df.sparkSession.sparkContext
@@ -120,8 +196,21 @@ def minhash_lsh_dedup(
     return connected_components(edges, all_nodes=df.select(F.col(id_col).alias("doc_id")))
 
 
+def _to_i64(v: int) -> int:
+    """Two's-complement fold of a uint64 into int64 range — explicit in
+    Python int space (NumPy 2.x raises OverflowError on out-of-range
+    np.int64(np.uint64(v)) scalar conversion; ~half of all SimHashes have
+    the top bit set)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def simhash_dedup(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    stats_acc: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint, banded into 4 x 16-bit chunks
     (any chunk equal -> candidate, catches all pairs with Hamming <= 3 by
@@ -131,7 +220,7 @@ def simhash_dedup(
     @F.pandas_udf(T.LongType())
     def sh(s: pd.Series) -> pd.Series:
         return pd.Series(
-            [np.int64(np.uint64(simhash64(x or ""))) for x in s], dtype="int64"
+            [_to_i64(simhash64(x or "")) for x in s], dtype="int64"
         )
 
     sig = df.select(F.col(id_col), sh(F.col(text_col)).alias("sig"))
@@ -150,7 +239,8 @@ def simhash_dedup(
     keyed = chunks[0]
     for c in chunks[1:]:
         keyed = keyed.unionByName(c)
-    pairs = _pairs_from_buckets(keyed, id_col)
+    pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
+    _record_bucket_stats(stats, stats_acc)
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     verified = (
@@ -171,6 +261,8 @@ def embedding_neardup(
     n_planes: int = 12,
     seed: int = 5,
     dim: int | None = None,
+    max_bucket: int = 4096,
+    stats_acc: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH.
 
@@ -199,7 +291,8 @@ def embedding_neardup(
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
     keyed = df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket_key"))
-    pairs = _pairs_from_buckets(keyed, id_col, max_bucket=4096)
+    pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
+    _record_bucket_stats(stats, stats_acc)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     verified = (

@@ -51,6 +51,55 @@ class TestSimhashDedup:
         assert comps[4] != comps[1]
 
 
+class TestHeavyHitterDedup:
+    """Oversize-bucket behavior: a text duplicated far past max_bucket must
+    fully collapse into ONE component (the salt-split + representative-chain
+    path), with the split recorded in the stats accumulator."""
+
+    @pytest.fixture(scope="class")
+    def heavy_df(self, spark):
+        boiler = "subscribe to our newsletter for updates terms apply"
+        rows = [(i, boiler) for i in range(10_000)]
+        rows += [(20_000 + i, f"unique document number {i} about topic {i * 7}")
+                 for i in range(20)]
+        return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    def test_minhash_collapses_heavy_hitter(self, heavy_df):
+        from alligator_spark.operators.dedup import minhash_lsh_dedup
+
+        stats: dict = {}
+        comps = minhash_lsh_dedup(
+            heavy_df, "doc_id", "text", 0.7, max_bucket=64, stats_acc=stats
+        )
+        sizes = (
+            comps.groupBy("component_id")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(1)
+            .collect()
+        )
+        assert sizes[0]["count"] == 10_000  # nothing silently dropped
+        assert stats["split_buckets"] >= 1
+        assert stats["oversize_docs"] >= 10_000
+
+    def test_simhash_collapses_heavy_hitter(self, heavy_df):
+        from alligator_spark.operators.dedup import simhash_dedup
+
+        stats: dict = {}
+        comps = simhash_dedup(
+            heavy_df, "doc_id", "text", 3, max_bucket=64, stats_acc=stats
+        )
+        top = (
+            comps.groupBy("component_id")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(1)
+            .collect()
+        )
+        assert top[0]["count"] == 10_000
+        assert stats["split_buckets"] >= 1
+
+
 class TestEmbeddingOps:
     @pytest.fixture(scope="class")
     def emb_df(self, spark):
