@@ -110,10 +110,14 @@ def q_clean_str(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+P1+P4: pushed-down scan, projection, predicate."""
+    """S1+P1+P4: pushed-down scan, projection, predicate.
+
+    Predicates chosen to be selective but NON-empty at every correctness
+    scale factor (~700 rows at sf0.001) so the oracle's value-hash compare
+    is meaningful, not vacuous."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 45)
+        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 30)
     ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
 
 
@@ -139,22 +143,30 @@ def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (CTA frequency) semantics: per event_type, fraction of distinct
-    users emitting it (per-doc dedup then / n_docs)."""
+    users emitting it (per-doc dedup then / n_docs). The denominator is a
+    broadcast scalar subquery (1-row agg crossJoin), not a driver collect
+    — one scan of events instead of two."""
     e = _t(spark, sf_dir, "events")
-    total = e.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
-    return e.groupBy("event_type").agg(
-        F.round(F.countDistinct("user_id") / F.lit(float(total)), 6).alias("freq")
+    total = e.agg(F.countDistinct("user_id").cast("double").alias("_n"))
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("_u"))
+        .crossJoin(F.broadcast(total))
+        .select("event_type", F.round(F.col("_u") / F.col("_n"), 6).alias("freq"))
     )
 
 
 def q_agg_cpa_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (CPA frequency) semantics: per event_type, sum of per-user max
-    value / n distinct users overall."""
+    value / n distinct users overall (broadcast scalar denominator)."""
     e = _t(spark, sf_dir, "events")
-    total = e.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    total = e.agg(F.countDistinct("user_id").cast("double").alias("_n"))
     per_user = e.groupBy("event_type", "user_id").agg(F.max("value").alias("mx"))
-    return per_user.groupBy("event_type").agg(
-        F.round(F.sum("mx") / F.lit(float(total)), 6).alias("cpa_freq")
+    return (
+        per_user.groupBy("event_type")
+        .agg(F.sum("mx").alias("_s"))
+        .crossJoin(F.broadcast(total))
+        .select("event_type", F.round(F.col("_s") / F.col("_n"), 6).alias("cpa_freq"))
     )
 
 
@@ -279,7 +291,10 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 token-set overlap (|A∩B|/max(|A|,|B|,1)) between same-source
-    document pairs, thresholded."""
+    document pairs, thresholded. The self-join is banded to a doc_id
+    window of 1000 so it stays linear in corpus size (covers every pair at
+    the correctness SFs; a corpus-scale run would use the ER pair stage's
+    block caps instead of an uncapped low-cardinality key)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -291,7 +306,9 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         F.col("source"), F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
     )
-    pairs = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = a.join(b, "source").filter(
+        (F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") <= F.col("doc_a") + 1000)
+    )
     jac = F.size(F.array_intersect("ta", "tb")) / F.greatest(
         F.size("ta"), F.size("tb"), F.lit(1)
     )
@@ -340,14 +357,24 @@ def q_row_filter_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 set algebra over tables: users seen in 'click' events EXCEPT
-    users seen in 'purchase' events, INTERSECT with high-value users."""
+    """§2.6 set algebra over tables: high-value clickers EXCEPT big
+    purchasers, INTERSECT engaged viewers. Value thresholds chosen so all
+    three legs AND the final result are non-empty at every correctness SF
+    (the previous type-only version was empty by construction — every
+    synthetic user emits every event type). No driver-side collects."""
     e = _t(spark, sf_dir, "events")
-    types = [r["event_type"] for r in e.select("event_type").distinct().collect()]
-    t1, t2 = sorted(types)[0], sorted(types)[-1]
-    a = e.filter(F.col("event_type") == t1).select("user_id").distinct()
-    b = e.filter(F.col("event_type") == t2).select("user_id").distinct()
-    hi = e.filter(F.col("value") > 50).select("user_id").distinct()
+    a = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") > 100))
+        .select("user_id").distinct()
+    )
+    b = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id").distinct()
+    )
+    hi = (
+        e.filter((F.col("event_type") == "view") & (F.col("value") > 50))
+        .select("user_id").distinct()
+    )
     return a.exceptAll(b).intersect(hi)
 
 
@@ -522,7 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_project_filter": """
             SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
             FROM lineitem
-            WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+            WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 30
         """,
         "join_agg_revenue": """
             SELECT n_name,
@@ -610,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.toks, b.toks))::double
                          / greatest(len(a.toks), len(b.toks), 1), 6) AS tok_jaccard
             FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+             AND b.doc_id <= a.doc_id + 1000
             WHERE len(list_intersect(a.toks, b.toks))::double
                   / greatest(len(a.toks), len(b.toks), 1) >= 0.8
         """,
@@ -620,12 +648,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (1, 3, 5, 8, 13, 21, 34, 55, 89, 144)
         """,
         "set_ops": """
-            WITH types AS (SELECT min(event_type) t1, max(event_type) t2 FROM events)
-            (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t1 FROM types)
+            (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'click' AND value > 100
              EXCEPT
-             SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t2 FROM types))
+             SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND value > 300)
             INTERSECT
-            SELECT DISTINCT user_id FROM events WHERE value > 50
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view' AND value > 50
         """,
         "arrays_overlap_semijoin": """
             SELECT doc_id, n_shared FROM (

@@ -47,6 +47,17 @@ def minhash_signature(
     return vals.min(axis=1)
 
 
+def minhash_sig_arrays(texts, num_hashes: int = 16, seed: int = 7) -> list:
+    """Per text: the raw MinHash signature as a list of ints (fits int64;
+    values are mod 2^61-1). Computed ONCE per corpus — band keys for any
+    banding are then derived JVM-side (xxhash64 over signature slices), so
+    a looser second banding (the fuzzy retry) costs no second Python pass."""
+    a, b = _rng_params(num_hashes, seed)
+    return [
+        [int(v) for v in minhash_signature(t or "", num_hashes, a, b)] for t in texts
+    ]
+
+
 def minhash_band_keys(
     texts, num_hashes: int = 16, bands: int = 4, seed: int = 7
 ) -> list[list[str]]:

@@ -32,7 +32,6 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
-import pandas as pd
 from dateutil.parser import parse as _dateutil_parse
 
 
@@ -125,24 +124,6 @@ def token_hash_array(text: str) -> np.ndarray:
             (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
         )
     )
-
-
-def hash_overlap(a: np.ndarray, b: np.ndarray) -> float:
-    """|A∩B| / max(|A|,|B|,1) over sorted-unique hash arrays.
-
-    searchsorted membership — ~3 C calls, no concatenate/argsort
-    (np.intersect1d costs ~4x more on the tiny arrays this sees).
-    """
-    if a.size > b.size:
-        a, b = b, a
-    if not b.size:
-        return 0.0
-    if not a.size:
-        return 0.0
-    idx = np.searchsorted(b, a)
-    idx[idx == b.size] = 0  # out-of-range probes can't match b[0] (sorted)
-    inter = int(np.count_nonzero(b[idx] == a))
-    return inter / b.size
 
 
 # ------------------------------------------------------------ levenshtein
@@ -303,13 +284,3 @@ def date_similarity(d1, d2) -> float:
         ) / 3.0
     except Exception:
         return 0.0
-
-
-# ---------------------------------------------------------- batch wrappers
-
-def batch_pair_scores(s1: pd.Series, s2: pd.Series, fn) -> np.ndarray:
-    """Apply a scalar pair kernel across two aligned string Series."""
-    out = np.empty(len(s1), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(s1.values, s2.values)):
-        out[i] = fn("" if a is None else a, "" if b is None else b)
-    return out

@@ -14,8 +14,10 @@ become candidate pairs. Three key families, unioned:
   Elasticsearch-style token retrieval); hot tokens are defused downstream
   by the pair stage's block-size caps + salting
 
-Token keys are pure built-in expressions; MinHash runs in one Arrow
-pandas UDF producing all band keys per doc (then explodes).
+Token keys are pure built-in expressions. MinHash signatures are computed
+in ONE Arrow pandas UDF (minhash_signatures); every banding — strict block
+bands and the loose fuzzy-retry bands — is derived from that signature
+column with JVM-side xxhash64 slices, so re-banding never re-hashes text.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from alligator_spark.functions.hashing import minhash_band_keys
+from alligator_spark.functions.hashing import minhash_sig_arrays
 from alligator_spark.functions.textnorm import token_sort_key_col
 
 
@@ -50,8 +52,49 @@ class BlockingConfig:
     prefix_tokens: int | None = None
 
 
-def block_keys(normalized: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
-    """(doc_id, norm_mention, ...) -> (doc_id, block_key, key_kind)."""
+def minhash_signatures(
+    normalized: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """(doc_id, norm_mention) -> (doc_id, sig array<long>): the per-doc
+    MinHash signature, computed ONCE (one Arrow pass over the corpus).
+    Both the strict banding (block_keys) and the loose fuzzy banding
+    (fuzzy_rescue_pairs) re-band this column JVM-side — the reference's
+    fuzzy=True retry re-queries the index, it does not recompute the
+    text-side hashes (alligator/processors.py:169-198)."""
+    cfg = cfg or BlockingConfig()
+    nh, seed = cfg.minhash_hashes, cfg.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(s: pd.Series) -> pd.Series:
+        return pd.Series(minhash_sig_arrays(s.tolist(), nh, seed))
+
+    return normalized.select("doc_id", sig(F.col("norm_mention")).alias("sig"))
+
+
+def band_key_cols(sig_col: str, num_hashes: int, bands: int, prefix: str) -> list:
+    """JVM-side band keys from a signature array: per band, xxhash64 over
+    that band's signature slice (whole-stage codegen, zero Python)."""
+    rows = num_hashes // bands
+    return [
+        F.concat(
+            F.lit(f"{prefix}{bi}:"),
+            F.xxhash64(
+                *[F.element_at(sig_col, bi * rows + j + 1) for j in range(rows)]
+            ).cast("string"),
+        )
+        for bi in range(bands)
+    ]
+
+
+def block_keys(
+    normalized: DataFrame,
+    cfg: BlockingConfig | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, norm_mention, ...) -> (doc_id, block_key, key_kind).
+
+    ``sigs`` (from minhash_signatures) is computed on demand when absent;
+    pass it explicitly to share one signature pass with the fuzzy retry."""
     cfg = cfg or BlockingConfig()
     base = normalized.select("doc_id", "norm_mention")
 
@@ -75,15 +118,13 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig | None = None) -> Data
             )
         )
 
-    nh, nb, seed = cfg.minhash_hashes, cfg.minhash_bands, cfg.minhash_seed
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def mh_keys(s: pd.Series) -> pd.Series:
-        return pd.Series(minhash_band_keys(s.tolist(), nh, nb, seed))
-
-    mh = base.select(
+    if sigs is None:
+        sigs = minhash_signatures(normalized, cfg)
+    mh = sigs.select(
         "doc_id",
-        F.explode(mh_keys(F.col("norm_mention"))).alias("block_key"),
+        F.explode(
+            F.array(*band_key_cols("sig", cfg.minhash_hashes, cfg.minhash_bands, "mh"))
+        ).alias("block_key"),
         F.lit("minhash_band").alias("key_kind"),
     )
 
@@ -107,11 +148,15 @@ def fuzzy_rescue_pairs(
     pairs: DataFrame,
     cfg: BlockingConfig | None = None,
     max_block_size: int = 256,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """R4 fuzzy retry (reference alligator/processors.py:169-198): docs
-    that landed in NO candidate pair get a looser MinHash pass (same
-    signature, more bands / fewer rows) and are paired against any doc
-    sharing a loose band.
+    that landed in NO candidate pair get a looser banding of the SAME
+    MinHash signature (more bands, fewer rows -> higher recall) and are
+    paired against any doc sharing a loose band. Pass ``sigs`` (from
+    minhash_signatures) to reuse the signatures block_keys already
+    computed — the re-banding is then pure JVM expressions, no second
+    Python pass over the corpus.
 
     The lonely side is small by construction, so the band join is cheap;
     oversized loose buckets are dropped (they would pair a lonely doc
@@ -124,22 +169,16 @@ def fuzzy_rescue_pairs(
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    lonely = normalized.select("doc_id", "norm_mention").join(
-        participating, "doc_id", "left_anti"
+    lonely = normalized.select("doc_id").join(participating, "doc_id", "left_anti")
+
+    if sigs is None:
+        sigs = minhash_signatures(normalized, cfg)
+    all_keys = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*band_key_cols("sig", cfg.minhash_hashes, cfg.fuzzy_bands, "fz:b"))
+        ).alias("block_key"),
     )
-
-    nh, nb, seed = cfg.minhash_hashes, cfg.fuzzy_bands, cfg.minhash_seed
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def fz_keys(s: pd.Series) -> pd.Series:
-        return pd.Series(minhash_band_keys(s.tolist(), nh, nb, seed))
-
-    def keyed(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", F.explode(fz_keys(F.col("norm_mention"))).alias("block_key")
-        ).withColumn("block_key", F.concat(F.lit("fz:"), F.col("block_key")))
-
-    all_keys = keyed(normalized)
     sizes = all_keys.groupBy("block_key").agg(F.count("*").alias("sz"))
     all_keys = all_keys.join(sizes, "block_key").filter(
         (F.col("sz") > 1) & (F.col("sz") <= max_block_size)

@@ -23,6 +23,7 @@ from alligator_spark.operators.blocking import (
     BlockingConfig,
     block_keys,
     fuzzy_rescue_pairs,
+    minhash_signatures,
 )
 from alligator_spark.operators.clustering import connected_components
 from alligator_spark.operators.normalize import normalize_docs
@@ -60,11 +61,15 @@ def run_linkage(
     """
     cfg = cfg or PipelineConfig()
     normalized = normalize_docs(docs).persist()
-    keys = block_keys(normalized, cfg.blocking)
+    # one MinHash pass, shared by strict blocking AND the fuzzy retry
+    sigs = minhash_signatures(normalized, cfg.blocking).persist()
+    keys = block_keys(normalized, cfg.blocking, sigs=sigs)
     pairs, _ = candidate_pairs(keys, cfg.pairs)
     if cfg.blocking.fuzzy_enabled:
         pairs = pairs.persist()
-        pairs = pairs.unionByName(fuzzy_rescue_pairs(normalized, pairs, cfg.blocking))
+        pairs = pairs.unionByName(
+            fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
+        )
     scored = accept_edges(score_pairs(pairs, normalized).persist(), cfg.scoring)
     components = connected_components(
         scored.filter("accepted").select("doc_a", "doc_b"),
@@ -105,7 +110,9 @@ def run_pipeline(
         return out[name]
 
     normalized = stage("normalized", lambda: normalize_docs(docs))
-    keys = stage("block_keys", lambda: block_keys(normalized, cfg.blocking))
+    # lazy: only materializes when block_keys/candidate_edges must (re)build
+    sigs = minhash_signatures(normalized, cfg.blocking).persist()
+    keys = stage("block_keys", lambda: block_keys(normalized, cfg.blocking, sigs=sigs))
 
     def build_pairs():
         base, _ = candidate_pairs(keys, cfg.pairs)
@@ -113,7 +120,7 @@ def run_pipeline(
             return base
         base = base.persist()  # read twice: rescue probe + union
         return base.unionByName(
-            fuzzy_rescue_pairs(normalized, base, cfg.blocking)
+            fuzzy_rescue_pairs(normalized, base, cfg.blocking, sigs=sigs)
         )
 
     pairs = stage("candidate_edges", build_pairs)
