@@ -411,6 +411,70 @@ def q_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.orderBy("doc_id").limit(32).select("doc_id", "lang", "n_chars")
 
 
+# ----------------------------------------------------------- M3 rerank ops
+
+
+def _rerank_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic rerank inputs from the documents table: candidates =
+    banded same-source pairs scored by token jaccard (SQL-expressible, so
+    DuckDB can replay the exact same candidate lists), doc_keys = distinct
+    whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    a = docs.select("source", F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select("source", F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.greatest(
+        F.size("ta"), F.size("tb"), F.lit(1)
+    )
+    cand = (
+        a.join(b, "source")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") <= F.col("doc_a") + 1000))
+        .select("doc_a", "doc_b", jac.alias("score"))
+        .filter(F.col("score") >= 0.1)
+    )
+    doc_keys = docs.select("doc_id", F.explode("toks").alias("key"))
+    return cand, doc_keys
+
+
+def q_rerank_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/A2 global frequency counts over each doc's top-3 candidates
+    (per-doc dedup — reference seen_types, alligator/feature.py:226-233),
+    via the real rerank operators."""
+    from alligator_spark.operators.rerank import candidate_topn, global_key_freq
+
+    cand, doc_keys = _rerank_inputs(spark, sf_dir)
+    topn = candidate_topn(cand, n=3)
+    return global_key_freq(topn, doc_keys, min_docs=2)
+
+
+def q_rerank_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 rarity-weighted overlap per candidate pair (integer rarity
+    weights -> exact cross-engine arithmetic; emitted as floor(rw*1e6))."""
+    from alligator_spark.operators.rerank import (
+        candidate_topn,
+        global_key_freq,
+        weighted_overlap,
+    )
+
+    cand, doc_keys = _rerank_inputs(spark, sf_dir)
+    topn = candidate_topn(cand, n=3)
+    freq = global_key_freq(topn, doc_keys, min_docs=2)
+    n_docs = _t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    out = weighted_overlap(
+        cand.select("doc_a", "doc_b"), doc_keys, freq, n_docs, "rw"
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("rw") * 1000000.0).cast("long").alias("rw_micro"),
+    )
+
+
 # ------------------------------------------------- dedup / ANN (rows-only)
 
 
@@ -511,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrays_overlap_semijoin": q_arrays_overlap_semijoin,
         "sorted_freq_lists": q_sorted_freq_lists,
         "sample_scan": q_sample_scan,
+        "rerank_token_freq": q_rerank_token_freq,
+        "rerank_weighted_pairs": q_rerank_weighted_pairs,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
@@ -641,6 +707,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::double
                   / greatest(len(a.toks), len(b.toks), 1) >= 0.8
         """,
+        "rerank_token_freq": _RERANK_FREQ_SQL,
+        "rerank_weighted_pairs": _RERANK_RW_SQL,
         "quality_counts": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
         "row_filter_whitelist": """
@@ -693,6 +761,62 @@ def oracle_sql() -> dict[str, str]:
 
 
 _STOPWORDS_SQL = "['the','and','of','to','in','is','that','for','with','as','a','an','it','on','at','by','be','are']"
+
+# shared CTEs for the M3 rerank oracles: candidates = banded same-source
+# pairs scored by token jaccard; topn = each endpoint's top-3 by score
+# (desc, cand asc tie-break); freq = per-doc-deduped key counts >= 2
+_RERANK_BASE_SQL = """
+    WITH t AS (SELECT doc_id, source,
+                      list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+               FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks))::double
+               / greatest(len(a.toks), len(b.toks), 1) AS score
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       AND b.doc_id <= a.doc_id + 1000
+      WHERE len(list_intersect(a.toks, b.toks))::double
+            / greatest(len(a.toks), len(b.toks), 1) >= 0.1),
+    sides AS (
+      SELECT doc_a AS ep, doc_b AS cand, score FROM cand
+      UNION ALL
+      SELECT doc_b AS ep, doc_a AS cand, score FROM cand),
+    topn AS (
+      SELECT ep, cand FROM (
+        SELECT ep, cand,
+               row_number() OVER (PARTITION BY ep
+                   ORDER BY score DESC, cand ASC) AS rk
+        FROM sides) WHERE rk <= 3),
+    toks AS (SELECT doc_id, unnest(toks) AS key FROM t),
+    perdoc AS (SELECT DISTINCT topn.ep, k.key
+               FROM topn JOIN toks k ON k.doc_id = topn.cand),
+    freq AS (SELECT key, count(*) AS doc_count FROM perdoc
+             GROUP BY key HAVING count(*) >= 2)
+"""
+
+_RERANK_FREQ_SQL = _RERANK_BASE_SQL + "SELECT key, doc_count FROM freq"
+
+_RERANK_RW_SQL = _RERANK_BASE_SQL + """
+    , n AS (SELECT count(*) AS n_docs FROM documents),
+    pairkeys AS (
+      SELECT p.doc_a, p.doc_b, k.key,
+             max(CASE WHEN k.doc_id = p.doc_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.doc_id = p.doc_b THEN 1 ELSE 0 END) AS in_b
+      FROM cand p JOIN toks k ON k.doc_id IN (p.doc_a, p.doc_b)
+      GROUP BY p.doc_a, p.doc_b, k.key),
+    w AS (
+      SELECT doc_a, doc_b,
+             sum(CASE WHEN in_a = 1 AND in_b = 1
+                      THEN n_docs - coalesce(doc_count, 0) ELSE 0 END) AS shared,
+             sum(n_docs - coalesce(doc_count, 0)) AS un
+      FROM pairkeys LEFT JOIN freq USING (key) CROSS JOIN n
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           CASE WHEN un <= 0 THEN 500000
+                ELSE floor((shared::DOUBLE / un::DOUBLE) * 1000000.0) END::BIGINT
+             AS rw_micro
+    FROM w
+"""
 
 _QUALITY_SQL = f"""
     WITH t AS (

@@ -67,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     report = {
         "docs": n_docs,
         "components": out["components"].select("component_id").distinct().count(),
-        "accepted_edges": out["scored_edges"].filter("accepted").count(),
+        "accepted_edges": out["final_edges"].filter("accepted").count(),
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
         "workdir": args.workdir,

@@ -1,0 +1,334 @@
+"""Stage 4b — M3 rerank: second scoring pass with corpus-global frequencies.
+
+The reference's signature accuracy mechanism is two-stage ranking
+(``alligator/manager/ml.py:18-60``): after the rank stage scores every
+candidate, the driver computes *global* type/predicate frequencies over
+every doc's top-N candidates (``alligator/feature.py:113-269``: per-doc
+dedup via ``seen_types``/``seen_predicates``, normalized by doc count),
+fills per-candidate ``cta_t1..t5`` / ``cpa_t1..t5`` features (sorted-desc
+frequency lists, ``alligator/ml.py:166-199``) and re-scores. Single-pass
+scoring has no corpus context: it cannot tell "these two mentions share
+rare, discriminative tokens" from "they share tokens every mention has".
+
+Pairwise mapping (our engine has no external KB; the paired doc IS the
+candidate):
+
+* column        -> the corpus (one mention column)
+* candidate     -> the other endpoint of a scored edge; each doc's
+                   candidate list = its edges sorted by rank-stage score
+* type          -> a mention token (and, for typo robustness, a mention
+                   3-gram); a candidate "carries" its mention's tokens
+* predicate     -> a literal-span kind (number/date/string) with the
+                   pair's literal similarity as its value
+
+Global frequency (A2 semantics): ``freq(key) = #docs whose top-N
+candidates' mentions contain key / n_docs`` — per-doc dedup exactly as the
+reference's ``seen_types``. The rerank decision feature is the
+rarity-weighted shared-key overlap
+
+    rw = sum_{k in A∩B} (n_docs - count(k)) / sum_{k in A∪B} (n_docs - count(k))
+
+computed in INTEGER weights (exact, associative — no float-summation
+order sensitivity, so a SQL oracle reproduces it bit-for-bit) and only
+divided once at the end. Ubiquitous keys (count ~ n_docs) weigh ~0; keys
+unique to the pair weigh ~n_docs. ``cta_t1..t5`` (sorted-desc token freqs
+of the pair's mention-token union) and ``cpa_t1..t3`` (global kind freq x
+pair literal sim, sorted desc) are recorded for reference parity.
+
+Scale notes: the frequency tables are pruned to keys seen in >= min_docs
+docs (a pruned key reads back as count 0 = max rarity via the left join),
+so they stay broadcast-sized no matter the corpus; the per-pair explode
+is O(pairs x keys-per-mention), the same order as the rank battery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RERANK_TOP_N = 3  # reference top_n_cta_cpa_freq (alligator/feature.py:229)
+
+# deterministic second-stage scorer (replaces reranker.h5, same contract
+# as the rank stage's scorer — SURVEY §2.9 M2/M3):
+# score2 = sigmoid(SLOPE * (W_RANK*score1 + W_GLOBAL*max(rw_tok, rw_g3) - CENTER))
+#
+# Weight rationale: a corpus-ubiquitous-context false pair reaches
+# score1 ~ 1.0 with rw ~ 0 -> x = W_RANK - CENTER must sit clearly below
+# the 0.75 borderline band; a heavily-noised true pair keeps score1 ~ 0.95
+# with rw >= ~1/3 (one shared rare token of three) -> x must clear the
+# 0.92 strong band. 0.7/0.3 with center 0.675 gives 0.66 vs 0.93 on those
+# two anchors (slope 25 stretches the gap onto the M4 thresholds).
+RERANK_W_RANK = 0.7
+RERANK_W_GLOBAL = 0.3
+RERANK_CENTER = 0.675
+RERANK_SLOPE = 25.0
+
+
+@dataclass(frozen=True)
+class RerankConfig:
+    enabled: bool = True
+    top_n: int = RERANK_TOP_N
+    # prune global-frequency tables to keys seen in >= min_docs docs so
+    # they broadcast at any corpus size; pruned == "rare" (count 0)
+    min_docs: int = 2
+    w_rank: float = RERANK_W_RANK
+    w_global: float = RERANK_W_GLOBAL
+    center: float = RERANK_CENTER
+    slope: float = RERANK_SLOPE
+
+
+def candidate_topn(scored: DataFrame, n: int = RERANK_TOP_N) -> DataFrame:
+    """Each endpoint's top-n candidates by rank-stage score (T3 slice the
+    frequency pass reads, ``alligator/feature.py:229``).
+
+    Returns (ep, cand, score, rk)."""
+    sides = scored.select(
+        F.col("doc_a").alias("ep"), F.col("doc_b").alias("cand"), "score"
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("ep"), F.col("doc_a").alias("cand"), "score"
+        )
+    )
+    w = Window.partitionBy("ep").orderBy(F.desc("score"), F.asc("cand"))
+    return sides.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n)
+
+
+def mention_token_keys(normalized: DataFrame) -> DataFrame:
+    """(doc_id, key): one row per distinct mention token."""
+    return normalized.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("norm_mention", " "))).alias("key"),
+    ).filter(F.length("key") > 0)
+
+
+def mention_gram_keys(normalized: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, key): one row per distinct mention char n-gram — pure JVM
+    (sequence + substr inside a higher-order transform), no Python."""
+    m = F.col("norm_mention")
+    grams = F.when(F.length(m) < n, F.array(m)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(m) - (n - 1)),
+            lambda i: m.substr(i, F.lit(n)),
+        )
+    )
+    return normalized.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("key")
+    ).filter(F.length("key") > 0)
+
+
+def global_key_freq(
+    topn: DataFrame, doc_keys: DataFrame, min_docs: int = 2
+) -> DataFrame:
+    """A2 global frequency counts: (key, doc_count) where doc_count =
+    number of endpoint docs whose top-N candidates carry the key, deduped
+    per doc (the reference's ``seen_types``, alligator/feature.py:226-233).
+    Consumers divide by n_docs; pruning keeps the table broadcastable."""
+    per_doc = (
+        topn.join(doc_keys, topn.cand == doc_keys.doc_id)
+        .select("ep", "key")
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_docs)
+    )
+
+
+def _keys_per_doc(doc_keys: DataFrame) -> DataFrame:
+    return doc_keys.groupBy("doc_id").agg(F.collect_set("key").alias("keys"))
+
+
+def weighted_overlap(
+    pairs: DataFrame,
+    doc_keys: DataFrame,
+    freq: DataFrame,
+    n_docs_df: DataFrame,
+    out_col: str,
+    cta_col: str | None = None,
+) -> DataFrame:
+    """Rarity-weighted key overlap per pair (+ optional cta frequency list).
+
+    pairs(doc_a, doc_b) -> (doc_a, doc_b, <out_col> double[, <cta_col>
+    array<double> sorted desc]). Integer rarity weights (n_docs -
+    doc_count; missing key -> n_docs) summed exactly, one final double
+    division; when every union key is ubiquitous (union weight 0) the
+    overlap is neutral 0.5 — the rank-stage score must decide alone."""
+    sides = _keys_per_doc(doc_keys)
+    enriched = (
+        pairs.select("doc_a", "doc_b")
+        .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("keys").alias("ka")), "doc_a")
+        .join(sides.select(F.col("doc_id").alias("doc_b"), F.col("keys").alias("kb")), "doc_b")
+    )
+    ex = enriched.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array_union("ka", "kb")).alias("key"),
+        "ka",
+        "kb",
+    ).select(
+        "doc_a",
+        "doc_b",
+        "key",
+        F.array_contains("ka", F.col("key")).alias("in_a"),
+        F.array_contains("kb", F.col("key")).alias("in_b"),
+    )
+    j = (
+        ex.join(F.broadcast(freq), "key", "left")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "rar", (F.col("n_docs") - F.coalesce("doc_count", F.lit(0))).cast("long")
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), F.col("rar")).otherwise(0)).alias(
+            "_shared"
+        ),
+        F.sum("rar").alias("_union"),
+    ]
+    if cta_col is not None:
+        aggs.append(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.coalesce("doc_count", F.lit(0)).cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                ),
+                1,
+                5,
+            ).alias(cta_col)
+        )
+    out = j.groupBy("doc_a", "doc_b").agg(*aggs)
+    out = out.withColumn(
+        out_col,
+        F.when(F.col("_union") <= 0, F.lit(0.5)).otherwise(
+            F.col("_shared").cast("double") / F.col("_union").cast("double")
+        ),
+    ).drop("_shared", "_union")
+    return out
+
+
+def global_pred_freq(topn: DataFrame, scored: DataFrame) -> DataFrame:
+    """A3 predicate frequencies over literal-span kinds: per endpoint doc,
+    the FIRST (best-ranked) top-N candidate carrying a kind contributes its
+    value once (``seen_predicates`` dedup, alligator/feature.py:236-246);
+    freq(kind) = sum over docs / n_docs is left to the consumer as
+    (kind, value_sum)."""
+    kinds = ["lit_num_sim", "lit_date_sim", "lit_str_sim"]
+    lit = scored.select(
+        "doc_a",
+        "doc_b",
+        *[F.col("features")[k].alias(k) for k in kinds],
+    )
+    edges = topn.join(
+        lit,
+        (
+            (F.least("ep", "cand") == lit.doc_a)
+            & (F.greatest("ep", "cand") == lit.doc_b)
+        ),
+    ).select("ep", "rk", *kinds)
+    melted = edges.select(
+        "ep",
+        "rk",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in kinds]),
+                F.array(*[F.col(k) for k in kinds]),
+            )
+        ).alias("kind", "value"),
+    ).filter(F.col("value") > 0)
+    w = Window.partitionBy("ep", "kind").orderBy("rk")
+    first_seen = melted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return first_seen.groupBy("kind").agg(F.sum("value").alias("value_sum"))
+
+
+def rerank_edges(
+    scored: DataFrame, normalized: DataFrame, cfg: RerankConfig | None = None
+) -> DataFrame:
+    """M3: rank-stage edges -> reranked edges.
+
+    Output = scored's columns with ``rank_score`` (the stage-1 score),
+    ``score`` (the rerank score the match decision reads) and the global
+    features merged into the ``features`` map (cta_t1..t5, cpa_t1..t3,
+    rw_tok, rw_g3 — reference alligator/ml.py:166-199)."""
+    cfg = cfg or RerankConfig()
+    n_docs_df = normalized.agg(F.count("*").cast("long").alias("n_docs"))
+    topn = candidate_topn(scored, cfg.top_n)
+
+    tok_keys = mention_token_keys(normalized)
+    g3_keys = mention_gram_keys(normalized)
+    tok_freq = global_key_freq(topn, tok_keys, cfg.min_docs)
+    g3_freq = global_key_freq(topn, g3_keys, cfg.min_docs)
+
+    pairs = scored.select("doc_a", "doc_b")
+    rw_tok = weighted_overlap(
+        pairs, tok_keys, tok_freq, n_docs_df, "rw_tok", cta_col="cta_list"
+    )
+    rw_g3 = weighted_overlap(pairs, g3_keys, g3_freq, n_docs_df, "rw_g3")
+
+    # pred freqs as a broadcast 1-row map (<= 3 kinds) — no driver collect
+    pred_map_df = global_pred_freq(topn, scored).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("kind"), F.col("value_sum")))
+        ).alias("pred_map")
+    )
+
+    out = (
+        scored.join(rw_tok, ["doc_a", "doc_b"], "left")
+        .join(rw_g3, ["doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(n_docs_df))
+        .crossJoin(F.broadcast(pred_map_df))
+    )
+    # cpa_t1..t3: global kind freq (value_sum / n_docs) x this pair's kind
+    # similarity, sorted desc (alligator/ml.py:186-199 shape)
+    kinds = ["lit_num_sim", "lit_date_sim", "lit_str_sim"]
+    cpa_arr = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.coalesce(F.col("pred_map")[k], F.lit(0.0))
+                    / F.col("n_docs")
+                    * F.coalesce(F.col("features")[k], F.lit(0.0))
+                    for k in kinds
+                ]
+            )
+        )
+    )
+    rw_tok_c = F.coalesce("rw_tok", F.lit(0.5))
+    rw_g3_c = F.coalesce("rw_g3", F.lit(0.5))
+    lin = (
+        cfg.w_rank * F.col("score")
+        + cfg.w_global * F.greatest(rw_tok_c, rw_g3_c)
+        - F.lit(cfg.center)
+    )
+    score2 = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(cfg.slope) * lin))
+    cta_names = [f"cta_t{i}" for i in range(1, 6)]
+    cpa_names = [f"cpa_t{i}" for i in range(1, 4)]
+    extra = F.map_from_arrays(
+        F.array(
+            *[F.lit(n) for n in cta_names + cpa_names + ["rw_tok", "rw_g3"]]
+        ),
+        F.array(
+            *[
+                # try_element_at: ANSI-safe pad to 5 (alligator/ml.py:176)
+                F.coalesce(F.try_element_at("cta_list", F.lit(i)), F.lit(0.0))
+                for i in range(1, 6)
+            ],
+            *[F.element_at(cpa_arr, i) for i in range(1, 4)],
+            rw_tok_c,
+            rw_g3_c,
+        ),
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "block_key",
+        F.map_concat("features", extra).alias("features"),
+        F.col("score").alias("rank_score"),
+        score2.alias("score"),
+    )

@@ -28,6 +28,7 @@ from alligator_spark.operators.blocking import (
 from alligator_spark.operators.clustering import connected_components
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.pairs import PairConfig, candidate_pairs
+from alligator_spark.operators.rerank import RerankConfig, rerank_edges
 from alligator_spark.operators.scoring import ScoringConfig, accept_edges, score_pairs
 from alligator_spark.sources.tables import CheckpointManager
 
@@ -37,6 +38,7 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     pairs: PairConfig = field(default_factory=PairConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    rerank: RerankConfig = field(default_factory=RerankConfig)
 
     def run_id(self) -> str:
         """Deterministic id from config (the reference's SHA-256 cache-key
@@ -45,7 +47,14 @@ class PipelineConfig:
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-STAGES = ["normalized", "block_keys", "candidate_edges", "scored_edges", "components"]
+STAGES = [
+    "normalized",
+    "block_keys",
+    "candidate_edges",
+    "scored_edges",
+    "reranked_edges",
+    "components",
+]
 
 
 def run_linkage(
@@ -70,7 +79,11 @@ def run_linkage(
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
-    scored = accept_edges(score_pairs(pairs, normalized).persist(), cfg.scoring)
+    ranked = score_pairs(pairs, normalized).persist()
+    if cfg.rerank.enabled:
+        # M3: global-frequency rerank between rank and the match decision
+        ranked = rerank_edges(ranked, normalized, cfg.rerank).persist()
+    scored = accept_edges(ranked, cfg.scoring)
     components = connected_components(
         scored.filter("accepted").select("doc_a", "doc_b"),
         all_nodes=normalized.select("doc_id"),
@@ -85,6 +98,7 @@ def run_linkage(
         "block_keys": keys,
         "candidate_edges": pairs,
         "scored_edges": scored,
+        "final_edges": scored,  # accepted edge table (post-rerank when enabled)
         "components": components,
         "clusters": clusters,
     }
@@ -124,10 +138,19 @@ def run_pipeline(
         )
 
     pairs = stage("candidate_edges", build_pairs)
-    scored = stage(
-        "scored_edges",
-        lambda: accept_edges(score_pairs(pairs, normalized), cfg.scoring),
-    )
+    if cfg.rerank.enabled:
+        ranked = stage("scored_edges", lambda: score_pairs(pairs, normalized))
+        scored = stage(
+            "reranked_edges",
+            lambda: accept_edges(
+                rerank_edges(ranked, normalized, cfg.rerank), cfg.scoring
+            ),
+        )
+    else:
+        scored = stage(
+            "scored_edges",
+            lambda: accept_edges(score_pairs(pairs, normalized), cfg.scoring),
+        )
     components = stage(
         "components",
         lambda: connected_components(
@@ -136,6 +159,7 @@ def run_pipeline(
         ),
     )
 
+    out["final_edges"] = scored  # accepted edge table (post-rerank when enabled)
     # final output: clusters joined back onto intact docs (spans untouched)
     out["clusters"] = docs.join(components, "doc_id", "left").select(
         "doc_id",

@@ -1,0 +1,159 @@
+"""M3 rerank: global-frequency semantics + the accuracy case single-pass
+scoring cannot solve (reference two-stage ranking,
+alligator/manager/ml.py:18-60, alligator/feature.py:113-269)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alligator_spark.plans.pipeline import PipelineConfig, run_linkage
+from alligator_spark.operators.rerank import (
+    RerankConfig,
+    candidate_topn,
+    global_key_freq,
+    mention_token_keys,
+    weighted_overlap,
+)
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _doc(doc_id, mention, lits=(), nums=()):
+    spans = [{"kind": "mention", "text": mention, "media_ref": None, "offset": 0}]
+    for v in lits:
+        spans.append(
+            {"kind": "literal_string", "text": v, "media_ref": None, "offset": 1}
+        )
+    for v in nums:
+        spans.append(
+            {"kind": "literal_number", "text": v, "media_ref": None, "offset": 2}
+        )
+    return (doc_id, spans)
+
+
+class TestGlobalFreq:
+    def test_per_doc_dedup_and_topn(self, spark):
+        # endpoint e1 has 3 candidates; candidate c1 and c2 both carry
+        # token "x": e1 contributes ONE count for "x" (seen_types dedup,
+        # alligator/feature.py:226-233); candidate c9 ranks 4th -> outside
+        # top-3, its token "z" is not counted for e1.
+        scored = spark.createDataFrame(
+            [
+                ("e1", "c1", 0.9),
+                ("e1", "c2", 0.8),
+                ("e1", "c3", 0.7),
+                ("e1", "c9", 0.1),
+                ("e2", "c1", 0.9),
+            ],
+            ["doc_a", "doc_b", "score"],
+        )
+        norm = spark.createDataFrame(
+            [
+                ("c1", "x alpha"),
+                ("c2", "x beta"),
+                ("c3", "gamma"),
+                ("c9", "z"),
+                ("e1", "whatever"),
+                ("e2", "whatever two"),
+            ],
+            ["doc_id", "norm_mention"],
+        )
+        topn = candidate_topn(scored, n=3)
+        freq = {
+            r["key"]: r["doc_count"]
+            for r in global_key_freq(topn, mention_token_keys(norm), min_docs=1).collect()
+        }
+        # "x" is carried by candidates c1 and c2: endpoint e1 counts it
+        # ONCE (dedup), e2 once via c1 -> 2
+        assert freq["x"] == 2
+        # "whatever" is carried by e1/e2, which appear among the top-3
+        # candidates of endpoints c1 (deduped: e1 AND e2 -> one count),
+        # c2, c3, c9 -> 4
+        assert freq["whatever"] == 4
+        assert "z" not in freq  # its only carrier c9 ranks 4th -> excluded
+
+    def test_weighted_overlap_integer_exact(self, spark):
+        # 4 docs; freq table: "common" in 4 docs, others absent (pruned)
+        pairs = spark.createDataFrame([("a", "b")], ["doc_a", "doc_b"])
+        doc_keys = spark.createDataFrame(
+            [("a", "common"), ("a", "rarex"), ("b", "common"), ("b", "rarex"),
+             ("b", "othery")],
+            ["doc_id", "key"],
+        )
+        freq = spark.createDataFrame([("common", 4)], ["key", "doc_count"])
+        n_docs = spark.createDataFrame([(4,)], ["n_docs"])
+        row = weighted_overlap(pairs, doc_keys, freq, n_docs, "rw").collect()[0]
+        # rarities: common -> 0, rarex -> 4, othery -> 4
+        # shared = common(0) + rarex(4) = 4 ; union = 8 -> rw = 0.5 exactly
+        assert row["rw"] == 0.5
+
+
+class TestRerankAccuracy:
+    """Corpus where every mention shares a ubiquitous 3-token head and ALL
+    literal context (string + number) is identical across entities: the
+    rank stage strong-accepts cross-entity pairs (they differ only in one
+    rare token, and literal agreement carries most of the stage-1 weight).
+    The rerank's global frequencies identify the head tokens as
+    non-discriminative and the rare tails as decisive."""
+
+    @pytest.fixture(scope="class")
+    def hard_corpus(self, spark):
+        head = "global synergy holdings"
+        rares = [
+            "kelvorix", "madrigal", "zephyrum", "quillon", "bravante",
+            "luminara", "oxandria", "permafrost", "juniperus", "vetragon",
+            "wyrmwood", "sablefin",
+        ]
+        rows, gold = [], []
+        for gi, rare in enumerate(rares):
+            base = f"{head} {rare}"
+            variants = [
+                base,
+                f"globel synergy holdings {rare}",   # typo in head token 1
+                f"global synerg holdings {rare}",    # typo in head token 2
+            ]
+            for vi, m in enumerate(variants):
+                did = f"g{gi:02d}v{vi}"
+                rows.append(
+                    _doc(
+                        did,
+                        m,
+                        lits=("industrial manufacturing",),
+                        nums=("2000",),
+                    )
+                )
+                gold.append((did, f"g{gi:02d}"))
+        docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+        gold_df = spark.createDataFrame(gold, ["doc_id", "cluster_id"])
+        return docs, gold_df
+
+    def _f1(self, spark, docs, gold_df, rerank_on: bool):
+        from alligator_spark.eval import labeled_pairs, pairwise_prf
+
+        cfg = PipelineConfig(rerank=RerankConfig(enabled=rerank_on))
+        out = run_linkage(spark, docs, cfg)
+        lp = labeled_pairs(out["block_keys"], gold_df)
+        return pairwise_prf(lp, out["components"])
+
+    def test_single_pass_overmerges(self, spark, hard_corpus):
+        docs, gold_df = hard_corpus
+        m = self._f1(spark, docs, gold_df, rerank_on=False)
+        assert m["fp"] > 0, m  # cross-entity merges: rank stage can't tell
+        assert m["precision"] < 0.9, m
+
+    def test_rerank_separates(self, spark, hard_corpus):
+        docs, gold_df = hard_corpus
+        m = self._f1(spark, docs, gold_df, rerank_on=True)
+        assert m["fp"] == 0, m
+        assert m["f1"] >= 0.99, m
+
+    def test_rerank_features_recorded(self, spark, hard_corpus):
+        docs, _ = hard_corpus
+        out = run_linkage(spark, docs, PipelineConfig())
+        row = out["final_edges"].limit(1).collect()[0]
+        feats = row["features"]
+        for k in ["cta_t1", "cta_t5", "cpa_t1", "rw_tok", "rw_g3"]:
+            assert k in feats
+        assert "rank_score" in out["final_edges"].columns
