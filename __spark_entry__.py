@@ -475,6 +475,22 @@ def q_rerank_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cea_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEA-style ranked candidate output (T1/T2 + J4): per doc, top-5
+    candidates sorted by score desc (cand asc tie-break), via the real
+    output operator over the deterministic candidate set."""
+    from alligator_spark.operators.output import cea_exploded
+
+    cand, _ = _rerank_inputs(spark, sf_dir)
+    out = cea_exploded(cand, k=5)
+    return out.select(
+        "doc_id",
+        "rank",
+        "cand_id",
+        F.floor(F.col("score") * 1000000.0).cast("long").alias("score_micro"),
+    )
+
+
 # ------------------------------------------------- dedup / ANN (rows-only)
 
 
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_scan": q_sample_scan,
         "rerank_token_freq": q_rerank_token_freq,
         "rerank_weighted_pairs": q_rerank_weighted_pairs,
+        "cea_topk": q_cea_topk,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
@@ -709,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rerank_token_freq": _RERANK_FREQ_SQL,
         "rerank_weighted_pairs": _RERANK_RW_SQL,
+        "cea_topk": _CEA_SQL,
         "quality_counts": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
         "row_filter_whitelist": """
@@ -795,6 +813,16 @@ _RERANK_BASE_SQL = """
 """
 
 _RERANK_FREQ_SQL = _RERANK_BASE_SQL + "SELECT key, doc_count FROM freq"
+
+_CEA_SQL = _RERANK_BASE_SQL + """
+    SELECT ep AS doc_id, rk AS rank, cand AS cand_id,
+           floor(score * 1000000.0)::BIGINT AS score_micro
+    FROM (SELECT ep, cand, score,
+                 row_number() OVER (PARTITION BY ep
+                     ORDER BY score DESC, cand ASC) AS rk
+          FROM sides)
+    WHERE rk <= 5
+"""
 
 _RERANK_RW_SQL = _RERANK_BASE_SQL + """
     , n AS (SELECT count(*) AS n_docs FROM documents),

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--max-block-size", type=int, default=64)
     ap.add_argument("--evaluate", action="store_true", help="print pairwise F1 vs gold (synthesized corpora only)")
+    ap.add_argument(
+        "--export-cea",
+        help="write the CEA-style ranked-candidate output as CSV to this path "
+        "(nested columns serialized as JSON, reference manager/output.py:53-113)",
+    )
     args = ap.parse_args(argv)
 
     from alligator_spark.operators.pairs import PairConfig
@@ -72,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
         "docs_per_sec": round(n_docs / wall, 1),
         "workdir": args.workdir,
     }
+    if args.export_cea:
+        from alligator_spark.operators.output import export_csv
+
+        export_csv(out["cea"], args.export_cea)
+        report["cea_csv"] = args.export_cea
     if args.evaluate and args.synthesize:
         from alligator_spark.datagen import gold_clusters
         from alligator_spark.eval import labeled_pairs, pairwise_prf

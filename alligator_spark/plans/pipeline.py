@@ -27,6 +27,7 @@ from alligator_spark.operators.blocking import (
 )
 from alligator_spark.operators.clustering import connected_components
 from alligator_spark.operators.normalize import normalize_docs
+from alligator_spark.operators.output import cea_topk
 from alligator_spark.operators.pairs import PairConfig, candidate_pairs
 from alligator_spark.operators.rerank import RerankConfig, rerank_edges
 from alligator_spark.operators.scoring import ScoringConfig, accept_edges, score_pairs
@@ -101,6 +102,8 @@ def run_linkage(
         "final_edges": scored,  # accepted edge table (post-rerank when enabled)
         "components": components,
         "clusters": clusters,
+        # CEA-analogue: intact docs + top-5 ranked candidates (lazy)
+        "cea": cea_topk(scored, docs),
     }
 
 
@@ -160,6 +163,7 @@ def run_pipeline(
     )
 
     out["final_edges"] = scored  # accepted edge table (post-rerank when enabled)
+    out["cea"] = cea_topk(scored, docs)  # lazy; reads the committed stage
     # final output: clusters joined back onto intact docs (spans untouched)
     out["clusters"] = docs.join(components, "doc_id", "left").select(
         "doc_id",
