@@ -6,15 +6,19 @@ Plays the role of the reference's status state machine
 a committed stage table == DONE for all its rows; a killed run resumes by
 skipping stages whose table is already committed.
 
-Backend: Iceberg when the runtime jar is on the classpath (``writeTo``),
-else plain Parquet directories with Spark's atomic ``_SUCCESS`` commit
-marker — same layout, same resume semantics (documented fallback,
-SURVEY §7.3). In this sandbox the Iceberg jar is absent, so Parquet runs.
+Backend: Iceberg when the runtime jar is on the classpath
+(``df.writeTo(...).using("iceberg").createOrReplace()``, commit check =
+catalog ``tableExists``), else Parquet directories with Spark's atomic
+``_SUCCESS`` commit marker — same layout, same resume semantics
+(documented fallback, SURVEY §7.3). In this sandbox the Iceberg jar is
+absent, so Parquet runs. Commit checks go through the Hadoop FileSystem
+API (NOT ``os.path``), so resume works when the workdir is ``hdfs://`` /
+``s3a://`` / ``file://`` — any scheme the cluster's Hadoop conf resolves.
 """
 
 from __future__ import annotations
 
-import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,37 +28,88 @@ LINEAGE_COLS = ["stage", "partition_id", "input_count", "edge_count", "wall_ms",
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime jar is on the JVM classpath. Must use
+    Class.forName — attribute access on spark._jvm returns a JavaPackage
+    placeholder for ANY dotted name, it never raises."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")  # noqa: SLF001
         return True
     except Exception:
         return False
 
 
-class CheckpointManager:
-    """Commit/read/skip per-stage tables under a working directory."""
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """FileSystem.exists via the JVM gateway — resolves the path's scheme
+    (file://, hdfs://, s3a://, bare local) against the session's Hadoop
+    conf; ``os.path.exists`` only ever sees the driver's local FS and
+    reports every remote workdir as missing (full recompute on resume)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(jpath))
 
-    def __init__(self, spark: SparkSession, workdir: str, run_id: str):
+
+class CheckpointManager:
+    """Commit/read/skip per-stage tables under a working directory.
+
+    ``backend`` is "iceberg" when the runtime jar is present (stage tables
+    become catalog tables ``<namespace>.<stage>``) else "parquet".
+    Lineage rows always append to a Parquet table under the workdir.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        run_id: str,
+        backend: str | None = None,
+    ):
         self.spark = spark
-        self.workdir = workdir
+        self.workdir = workdir.rstrip("/")
         self.run_id = run_id
+        if backend is None:
+            backend = "iceberg" if iceberg_available(spark) else "parquet"
+        self.backend = backend
+
+    # ------------------------------------------------------------ locations
 
     def path(self, stage: str) -> str:
-        return os.path.join(self.workdir, stage)
+        return f"{self.workdir}/{stage}"
+
+    def iceberg_ident(self, stage: str) -> str:
+        """Catalog identifier for a stage table: a namespace derived from
+        the workdir (sanitized) keeps concurrent pipelines apart."""
+        ns = re.sub(r"[^A-Za-z0-9_]+", "_", self.workdir).strip("_").lower()
+        return f"ckpt_{ns}.{stage}"
+
+    # ------------------------------------------------------------- protocol
 
     def committed(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+        if self.backend == "iceberg":
+            return self.spark.catalog.tableExists(self.iceberg_ident(stage))
+        return hadoop_path_exists(self.spark, f"{self.path(stage)}/_SUCCESS")
 
     def read(self, stage: str) -> DataFrame:
+        if self.backend == "iceberg":
+            return self.spark.table(self.iceberg_ident(stage))
         return self.spark.read.parquet(self.path(stage))
 
-    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None):
-        """Write a stage table + its per-partition lineage rows."""
-        t0 = time.monotonic()
+    def _write_stage(self, df: DataFrame, stage: str, partition_by: list[str] | None):
+        if self.backend == "iceberg":
+            writer = df.writeTo(self.iceberg_ident(stage)).using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()  # atomic snapshot swap
+            return
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(stage))
+
+    def commit(self, df: DataFrame, stage: str, partition_by: list[str] | None = None):
+        """Write a stage table + its per-partition lineage rows."""
+        t0 = time.monotonic()
+        self._write_stage(df, stage, partition_by)
         wall_ms = int((time.monotonic() - t0) * 1000)
         out = self.read(stage)
         self._write_lineage(out, stage, wall_ms)
@@ -83,7 +138,7 @@ class CheckpointManager:
                 F.lit(self.run_id).alias("run_id"),
             )
         )
-        lineage.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        lineage.write.mode("append").parquet(f"{self.workdir}/_lineage")
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, "_lineage"))
+        return self.spark.read.parquet(f"{self.workdir}/_lineage")

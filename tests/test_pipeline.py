@@ -89,6 +89,49 @@ class TestResume:
         comp2 = sorted(rerun["components"].collect())
         assert comp1 == comp2
 
+    def test_resume_with_file_uri_workdir(self, spark, smoke_docs, tmp_path):
+        # the commit check must go through Hadoop FileSystem, not os.path:
+        # a file:// URI workdir is invisible to os.path.exists but real to
+        # any Spark cluster (same code path as hdfs:// / s3a://)
+        wd = "file://" + str(tmp_path / "wduri")
+        full = run_pipeline(spark, smoke_docs, wd)
+        c1 = sorted(full["components"].collect())
+        rerun = run_pipeline(spark, smoke_docs, wd)
+        c2 = sorted(rerun["components"].collect())
+        assert c1 == c2
+
+    def test_committed_via_hadoop_fs(self, spark, tmp_path):
+        from alligator_spark.sources.tables import CheckpointManager
+
+        wd = "file://" + str(tmp_path / "hfs")
+        ckpt = CheckpointManager(spark, wd, "r1")
+        assert ckpt.backend == "parquet"  # no Iceberg jar in this sandbox
+        assert not ckpt.committed("stage_x")
+        df = spark.createDataFrame([(1,)], ["v"])
+        ckpt.commit(df, "stage_x")
+        assert ckpt.committed("stage_x")
+        assert ckpt.read("stage_x").count() == 1
+
+    def test_iceberg_branch_call_shape(self, spark, tmp_path):
+        # the Iceberg jar is absent here; pin the branch's calls via mocks
+        # (identifier naming, writeTo().using("iceberg"), catalog check)
+        from unittest.mock import MagicMock
+
+        from alligator_spark.sources.tables import CheckpointManager
+
+        fake_spark = MagicMock()
+        ckpt = CheckpointManager(fake_spark, "/w d/x", "r1", backend="iceberg")
+        ident = ckpt.iceberg_ident("block_keys")
+        assert ident == "ckpt_w_d_x.block_keys"
+        df = MagicMock()
+        ckpt._write_stage(df, "block_keys", None)
+        df.writeTo.assert_called_once_with(ident)
+        df.writeTo.return_value.using.assert_called_once_with("iceberg")
+        df.writeTo.return_value.using.return_value.createOrReplace.assert_called_once()
+        fake_spark.catalog.tableExists.return_value = True
+        assert ckpt.committed("block_keys")
+        fake_spark.catalog.tableExists.assert_called_with(ident)
+
     def test_lineage_rows_written_per_stage(self, spark, pipeline_out):
         from alligator_spark.sources.tables import CheckpointManager
 
