@@ -531,6 +531,19 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: cell assignments come from driver-side k-means,
+    not SQL-expressible; recall vs brute force is gated in pytest)."""
+    from alligator_spark.operators.similarity_search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alligator_spark.operators.dedup import embedding_neardup
 
@@ -598,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "fingerprints": q_fingerprints,
         "media_decode": q_media_decode,

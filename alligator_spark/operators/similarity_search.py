@@ -100,11 +100,17 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 10,
     seed: int = 5,
+    max_bucket: int | None = 100_000,
+    stats_acc: dict | None = None,
 ) -> DataFrame:
     """ANN top-k: hyperplane buckets; queries multi-probe (1-bit flips).
 
     Corpus vectors land in exactly one bucket (scales linearly); only
-    queries fan out n_planes+1 probes.
+    queries fan out n_planes+1 probes. Size n_planes with the corpus
+    (~log2(N / target_bucket)); a skewed bucket larger than ``max_bucket``
+    is truncated to its min-id members (deterministic) and the truncation
+    is REPORTED via ``stats_acc`` — never silent. For corpus-scale search
+    prefer ``ivf_topk``, whose cell count is an explicit knob.
     """
     buckets = _hyperplane_bucket_udf(n_planes, seed)
     c = corpus.select(
@@ -112,6 +118,15 @@ def lsh_topk(
         F.col(vec_col).alias("cvec"),
         F.element_at(buckets(F.col(vec_col)), 1).alias("bucket"),
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("neighbor_id")
+        c = c.withColumn("_bn", F.row_number().over(wb))
+        if stats_acc is not None:
+            row = c.agg(
+                F.sum((F.col("_bn") > max_bucket).cast("long")).alias("truncated")
+            ).collect()[0]
+            stats_acc["truncated_corpus_vectors"] = int(row["truncated"] or 0)
+        c = c.filter(F.col("_bn") <= max_bucket).drop("_bn")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -121,6 +136,100 @@ def lsh_topk(
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", _cosine_expr(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: seeded
+    init, assign by dot product on normalized vectors, mean + renorm.
+    The sample is small (<= a few thousand rows) — this is O(sample x
+    centroids x iters) on the driver, not a distributed job."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(x))[:n_centroids]
+    cent = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for ci in range(len(cent)):
+            members = x[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[ci] = m / n
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 5,
+    sample_size: int = 2048,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """IVF ANN top-k — the corpus-scale path.
+
+    1. deterministic corpus sample (min-id rows) -> driver-side spherical
+       k-means -> ``n_centroids`` centroids (broadcast, tiny);
+    2. each corpus vector is assigned to its nearest centroid cell — ONE
+       pass, one int per vector; cells partition the corpus evenly by
+       construction (k-means balances mass), so no degenerate buckets;
+    3. queries probe their ``nprobe`` nearest cells; candidate generation
+       is a cell equi-join touching ~nprobe/n_centroids of the corpus;
+    4. exact cosine + window top-k inside the probed cells.
+
+    Scaling knobs are explicit: n_centroids ~ sqrt(N) keeps cells at
+    ~sqrt(N) vectors; recall rises with nprobe (nprobe == n_centroids
+    degenerates to exact search).
+    """
+    sample_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    n_centroids = min(n_centroids, len(sample))
+    cent = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
+
+    def _cell_udf(n_cells: int, probes: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.values).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            order = np.argsort(-sims, axis=1)[:, :probes]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return cells
+
+    assign1 = _cell_udf(n_centroids, 1)
+    assignp = _cell_udf(n_centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", _cosine_expr(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -145,6 +145,44 @@ class TestEmbeddingOps:
         ann = lsh_topk(emb_df, q, k=3, n_planes=8)
         assert ann_recall(ann, exact) >= 0.5  # multi-probe on tiny corpus
 
+    def test_lsh_bucket_cap_reported(self, emb_df):
+        from alligator_spark.operators.similarity_search import lsh_topk
+
+        stats: dict = {}
+        q = emb_df.filter("vec_id < 2")
+        out = lsh_topk(emb_df, q, k=3, n_planes=2, max_bucket=3, stats_acc=stats)
+        out.collect()
+        # 22 vectors in <=4 buckets with cap 3 -> truncation must be reported
+        assert stats["truncated_corpus_vectors"] > 0
+
+    def test_ivf_recall_10k(self, spark):
+        import numpy as np
+
+        from alligator_spark.operators.similarity_search import (
+            ann_recall,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        dim, n_clusters, per = 16, 100, 100  # 10,000 vectors
+        rows = []
+        vid = 0
+        for _ in range(n_clusters):
+            center = rng.normal(size=dim)
+            center /= np.linalg.norm(center)
+            for _ in range(per):
+                v = center + rng.normal(size=dim) * 0.15
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8).cache()
+        emb.count()
+        q = emb.filter("vec_id % 500 = 0")  # 20 queries
+        exact = brute_force_topk(emb, q, k=5)
+        ann = ivf_topk(emb, q, k=5, n_centroids=64, nprobe=8)
+        r = ann_recall(ann, exact)
+        assert r >= 0.9, r
+
     def test_embedding_neardup(self, emb_df):
         from alligator_spark.operators.dedup import embedding_neardup
 
