@@ -248,18 +248,23 @@ def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite heuristic quality score (rows-only check: the composite
-    mixes discrete rationals whose decimal-half rounding differs between
-    engines' rounding modes)."""
+    """Composite heuristic quality score, emitted as floor-scaled basis
+    points: both engines compute the identical IEEE double (same literal
+    constants, same operation order), and floor() of an identical double
+    is engine-independent — unlike round(), whose half-way tie handling
+    differs (Spark decimal HALF_UP vs binary rounding)."""
     docs = _t(spark, sf_dir, "documents")
     from alligator_spark.operators.text_analysis import quality_score
 
+    def bp(c):
+        return F.floor(F.col(c) * 10000.0).cast("long").alias(c + "_bp")
+
     return quality_score(docs, "text").select(
         "doc_id",
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
-        F.round("quality", 4).alias("quality"),
+        bp("punct_ratio"),
+        bp("stopword_ratio"),
+        bp("distinct_token_ratio"),
+        bp("quality"),
     )
 
 
@@ -501,6 +506,47 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
 
 
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + an exact copy of every fifth doc under doc_id+10000 —
+    the derived corpus both engines can build, giving the dedup family
+    non-trivial clusters with a provable expected answer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+def q_minhash_exactset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup at threshold 1.0 over the planted corpus. At
+    jaccard == 1.0 the components are EXACTLY the equal-3-gram-set groups:
+    equal gram sets share every band (candidate generation is complete for
+    them), and the verify stage rejects everything below 1.0 — so a pure
+    SQL oracle (group by sorted distinct gram list) checks the whole
+    bucket->verify->connected-components machinery end to end."""
+    from alligator_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _planted_docs(spark, sf_dir), "doc_id", "text", threshold=1.0
+    )
+
+
+def q_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup over embeddings + planted exact
+    copies (vec_id+10000 for every fifth vector). Identical vectors share
+    every bucket and verify at cosine 1.0; the max cross-pair cosine in
+    this corpus is ~0.51 << 0.97, so the expected components are exactly
+    base∪copy pairs — a closed-form SQL oracle."""
+    from alligator_spark.operators.dedup import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_neardup(corpus, "vec_id", "embedding", threshold=0.97)
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alligator_spark.operators.dedup import simhash_dedup
 
@@ -552,6 +598,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing fingerprints (k=8 grams, window=8, md5-hex minima) —
+    exactly reproducible in DuckDB via md5/list_min."""
     from alligator_spark.operators.text_analysis import fingerprint_docs
 
     docs = _t(spark, sf_dir, "documents")
@@ -560,12 +608,23 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: media table -> batch (fake) decode -> metadata."""
-    from alligator_spark.datagen import generate_docs
-    from alligator_spark.operators.multimodal import decode_media, media_table_from_docs
+    """Multimodal plumbing over a media table DERIVED from the documents
+    table (so the oracle sees the same refs): synthesize (media_ref,
+    payload) for every third doc, run the real mapInPandas decode (fake
+    codecs), emit the typed metadata. The fake decode keys off
+    md5_number_lower semantics -> exact DuckDB oracle."""
+    from alligator_spark.operators.multimodal import decode_media
 
-    docs = generate_docs(spark, _corpus_spec(sf_dir))
-    media = media_table_from_docs(docs)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.concat(
+            F.lit("media://"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".bin"),
+        ).alias("media_ref")
+    ).withColumn(
+        "payload",
+        F.encode(F.substring(F.repeat(F.col("media_ref"), 8), 1, 256), "utf-8"),
+    )
     return decode_media(media, fake=True)
 
 
@@ -608,7 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_weighted_pairs": q_rerank_weighted_pairs,
         "cea_topk": q_cea_topk,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_exactset_dedup": q_minhash_exactset_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -742,6 +803,20 @@ def oracle_sql() -> dict[str, str]:
         "rerank_weighted_pairs": _RERANK_RW_SQL,
         "cea_topk": _CEA_SQL,
         "quality_counts": _QUALITY_SQL,
+        "quality_score": _QUALITY_SCORE_SQL,
+        "fingerprints": _FINGERPRINT_SQL,
+        "media_decode": _MEDIA_SQL,
+        "minhash_exactset_dedup": _MINHASH_EXACTSET_SQL,
+        "embedding_neardup_planted": """
+            WITH c AS (
+              SELECT vec_id FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 5 = 0)
+            SELECT vec_id AS doc_id,
+                   CASE WHEN vec_id >= 10000 THEN vec_id - 10000
+                        ELSE vec_id END AS component_id
+            FROM c
+        """,
         "lang_id": _LANG_SQL,
         "row_filter_whitelist": """
             SELECT doc_id, lang, source FROM documents
@@ -873,6 +948,109 @@ _QUALITY_SQL = f"""
            len(toks) AS n_tokens,
            length(text) AS n_chars_computed
     FROM t
+"""
+
+# identical constant literals + operation order as text_analysis.quality_score
+# -> identical IEEE doubles -> floor() is engine-independent
+_QUALITY_SCORE_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_intersect(list_transform(toks, x -> lower(x)),
+                                {_STOPWORDS_SQL}))::DOUBLE
+               / greatest(len(toks), 1) AS stop_ratio,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+               AS distinct_ratio,
+             least(length(text) / 200.0, 1.0) AS len_score
+      FROM t)
+    SELECT doc_id,
+           floor(punct_ratio * 10000.0)::BIGINT AS punct_ratio_bp,
+           floor(stop_ratio * 10000.0)::BIGINT AS stopword_ratio_bp,
+           floor(distinct_ratio * 10000.0)::BIGINT AS distinct_token_ratio_bp,
+           floor((0.3::DOUBLE * len_score + 0.3::DOUBLE * distinct_ratio
+                  + 0.2::DOUBLE * (1 - least(punct_ratio * 4, 1.0))
+                  + 0.2::DOUBLE * least(stop_ratio * 5, 1.0)) * 10000.0)::BIGINT
+             AS quality_bp
+    FROM r
+"""
+
+# true winnowing: k=8 char grams (md5 hex), window=8 gram hashes,
+# per-window minima deduped + sorted — byte-for-byte the Python kernel
+_FINGERPRINT_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(coalesce(text, '')) < 8
+                  THEN [md5(coalesce(text, ''))]
+                  ELSE list_transform(generate_series(1, length(text) - 7),
+                                      i -> md5(substr(text, i, 8)))
+             END AS hs
+      FROM documents)
+    SELECT doc_id,
+           unnest(CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+                       ELSE list_sort(list_distinct(
+                              list_transform(generate_series(1, len(hs) - 7),
+                                             j -> list_min(hs[j:j+7]))))
+                  END) AS fp_hash
+    FROM g
+"""
+
+# fake decode oracle: payload = first 256 chars of media_ref x 8; digest =
+# md5_number_lower (low 64 bits of md5, little-endian) exactly as the
+# Python stub computes it
+_MEDIA_SQL = """
+    WITH m AS (
+      SELECT 'media://' || source || '/' || doc_id || '.bin' AS media_ref
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT media_ref,
+             substr(repeat(media_ref, 8), 1, 256) AS payload
+      FROM m),
+    h AS (
+      SELECT media_ref,
+             octet_length(encode(payload)) AS n_bytes,
+             md5_number_lower(payload) AS d
+      FROM p)
+    SELECT media_ref,
+           n_bytes,
+           (d % 2147483648)::BIGINT AS checksum,
+           CASE WHEN d % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+           (16 + (d >> 8) % 4096)::INT AS width,
+           (16 + (d >> 20) % 2160)::INT AS height,
+           CASE WHEN d % 2 = 0 THEN 0
+                ELSE (1000 + d % 600000) END::INT AS duration_ms
+    FROM h
+"""
+
+# threshold-1.0 MinHash dedup == equal-PER-TOKEN-3-gram-set groups (the
+# verify kernel is the reference's get_ngrams: char 3-grams per token,
+# union over tokens, tokens shorter than 3 contribute nothing —
+# alligator/utils.py:119-140). Empty gram sets never verify (0/1 < 1.0)
+# -> those docs stay singletons.
+_MINHASH_EXACTSET_SQL = """
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+    g AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list_transform(
+               string_split(text, ' '),
+               t -> CASE WHEN length(t) >= 3
+                         THEN list_transform(generate_series(1, length(t) - 2),
+                                             i -> substr(t, i, 3))
+                         ELSE [] END)))) AS grams
+      FROM c),
+    k AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) = 0 THEN 'EMPTY:' || doc_id
+                  ELSE array_to_string(grams, chr(1)) END AS gs
+      FROM g)
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY gs) AS component_id FROM k
 """
 
 _LANG_LISTS = {

@@ -103,15 +103,22 @@ def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
-def rolling_fingerprints(text: str, window: int = 16, keep: int = 4) -> list[int]:
-    """Winnowing-style document fingerprint: crc32 over sliding windows,
-    keep the ``keep`` smallest hashes (order-insensitive signature)."""
-    if not text:
-        return []
-    if len(text) <= window:
-        return [zlib.crc32(text.encode("utf-8"))]
-    hs = {
-        zlib.crc32(text[i : i + window].encode("utf-8"))
-        for i in range(len(text) - window + 1)
-    }
-    return sorted(hs)[:keep]
+def winnow_fingerprints(text: str, k: int = 8, window: int = 8) -> list[str]:
+    """TRUE winnowing (Schleimer et al., SIGMOD'03): md5-hex every char
+    k-gram, slide a window of ``window`` consecutive gram hashes, keep each
+    window's minimum, dedupe + sort. Guarantees a match for any shared
+    substring of length >= k + window - 1. md5-hex keys make the kernel
+    reproducible in any engine (DuckDB ``md5``/``list_min`` compute the
+    identical fingerprint — the exactness oracle relies on it)."""
+    import hashlib
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    text = text or ""
+    if len(text) < k:
+        return [h(text)]
+    hs = [h(text[i : i + k]) for i in range(len(text) - k + 1)]
+    if len(hs) <= window:
+        return [min(hs)]
+    return sorted({min(hs[j : j + window]) for j in range(len(hs) - window + 1)})

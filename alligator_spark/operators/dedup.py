@@ -168,6 +168,31 @@ def minhash_lsh_dedup(
 
     Returns (id, component_id)."""
     keyed = minhash_buckets(df, id_col, text_col, num_hashes, bands)
+
+    # exact-gram-set fast path: one extra bucket per doc keyed by the md5
+    # of its sorted distinct verify-gram hashes. Docs whose VERIFY gram
+    # sets are equal are then guaranteed candidates even when the
+    # (whole-string-shingled) MinHash bands happen to miss them — making
+    # candidate generation COMPLETE at jaccard == 1.0 (the property the
+    # exact-set oracle checks) and robust for heavy exact duplicates.
+    @F.pandas_udf(T.StringType())
+    def exact_set_key(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        from alligator_spark.functions.similarity import ngram_hash_array
+
+        out = []
+        for x in s:
+            arr = ngram_hash_array(x or "", 3)
+            out.append(
+                "es:" + hashlib.md5(arr.tobytes()).hexdigest() if arr.size else None
+            )
+        return pd.Series(out)
+
+    es = df.select(
+        F.col(id_col), exact_set_key(F.col(text_col)).alias("bucket_key")
+    ).filter(F.col("bucket_key").isNotNull())
+    keyed = keyed.unionByName(es)
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
     texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))

@@ -18,7 +18,7 @@ not change.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,16 +64,19 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(ref: str, payload: bytes) -> dict:
-    crc = zlib.crc32(payload or b"")
-    kind = "image" if (crc & 1) == 0 else "video"
+    # digest = low 64 bits of md5 (bytes 8..16 little-endian) — the exact
+    # value DuckDB's md5_number_lower computes, so the fake decode has a
+    # cross-engine oracle; checksum folded to 31 bits to stay in int range
+    h = int.from_bytes(hashlib.md5(payload or b"").digest()[8:], "little")
+    kind = "image" if (h & 1) == 0 else "video"
     return {
         "media_ref": ref,
         "n_bytes": len(payload or b""),
-        "checksum": int(crc),
+        "checksum": int(h % (1 << 31)),
         "kind": kind,
-        "width": 16 + (crc >> 8) % 4096,
-        "height": 16 + (crc >> 20) % 2160,
-        "duration_ms": 0 if kind == "image" else int(1000 + crc % 600000),
+        "width": int(16 + (h >> 8) % 4096),
+        "height": int(16 + (h >> 20) % 2160),
+        "duration_ms": 0 if kind == "image" else int(1000 + h % 600000),
     }
 
 

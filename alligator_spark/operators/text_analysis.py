@@ -111,16 +111,18 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint_docs(
-    df: DataFrame, id_col: str, text_col: str, window: int = 16, keep: int = 4
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 8
 ) -> DataFrame:
-    """Winnowing-style fingerprints (array<long>) per doc."""
-    from alligator_spark.functions.hashing import rolling_fingerprints
+    """True winnowing fingerprints (array<string> of md5-hex window
+    minima) per doc — O(len) per doc in one Arrow batch pass; any shared
+    substring of length >= k + window - 1 shares a fingerprint."""
+    from alligator_spark.functions.hashing import winnow_fingerprints
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.ArrayType(T.StringType()))
     def fp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             yield pd.Series(
-                [rolling_fingerprints(x or "", window, keep) for x in s]
+                [winnow_fingerprints(x or "", k, window) for x in s]
             )
 
     return df.select(
