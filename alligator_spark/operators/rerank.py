@@ -324,11 +324,13 @@ def rerank_edges(
             rw_g3_c,
         ),
     )
+    passthrough = [c for c in ("matches", "predicates") if c in scored.columns]
     return out.select(
         "doc_a",
         "doc_b",
         "block_key",
         F.map_concat("features", extra).alias("features"),
+        *passthrough,
         F.col("score").alias("rank_score"),
         score2.alias("score"),
     )

@@ -119,7 +119,34 @@ _PY_FEATURES = [
     "p_subj_lit_all_datatype",
 ]
 
-_RESULT_TYPE = T.StructType([T.StructField(n, T.DoubleType()) for n in _PY_FEATURES])
+# provenance columns (R2 analogue): per literal kind, the best-matching
+# (value_a, value_b) pair — the reference records per-pair `matches`
+# [{p, o, s}] and `predicates` {pred: score} the same way
+# (alligator/feature.py:313-359) so CPA outputs can cite their evidence
+_PROV_FIELDS = [
+    ("best_num_a", "best_num_b"),
+    ("best_date_a", "best_date_b"),
+    ("best_str_a", "best_str_b"),
+]
+
+_RESULT_TYPE = T.StructType(
+    [T.StructField(n, T.DoubleType()) for n in _PY_FEATURES]
+    + [
+        T.StructField(n, T.StringType())
+        for pair in _PROV_FIELDS
+        for n in pair
+    ]
+)
+
+
+def _argmax_pair(xs, ys, score_fn):
+    best, ba, bb = -1.0, None, None
+    for x in xs:
+        for y in ys:
+            v = score_fn(x, y)
+            if v > best:
+                best, ba, bb = v, x, y
+    return best, ba, bb
 
 
 def _lit_sims(nums_a, nums_b, dates_a, dates_b, strs_a, strs_b):
@@ -127,24 +154,29 @@ def _lit_sims(nums_a, nums_b, dates_a, dates_b, strs_a, strs_b):
     the pairwise analogue of p_subj_lit_datatype (max over KB literals of
     a datatype, normalized by LIT column count; alligator/feature.py:361-459).
 
-    Returns (num, date, str, mean-over-present, max-over-present).
+    Returns (num, date, str, mean-over-present, max-over-present,
+    provenance dict of the argmax value pairs per kind).
     """
     num = date = s = 0.0
     parts = []
+    prov: dict[str, str | None] = {a: None for pair in _PROV_FIELDS for a in pair}
     if len(nums_a) and len(nums_b):
-        num = max(sim.number_similarity(x, y) for x in nums_a for y in nums_b)
+        num, pa, pb = _argmax_pair(nums_a, nums_b, sim.number_similarity)
+        prov["best_num_a"], prov["best_num_b"] = pa, pb
         parts.append(num)
     if len(dates_a) and len(dates_b):
-        date = max(sim.date_similarity(x, y) for x in dates_a for y in dates_b)
+        date, pa, pb = _argmax_pair(dates_a, dates_b, sim.date_similarity)
+        prov["best_date_a"], prov["best_date_b"] = pa, pb
         parts.append(date)
     if len(strs_a) and len(strs_b):
-        s = max(
-            _ngram3_cached(str(x), str(y)) for x in strs_a for y in strs_b
+        s, pa, pb = _argmax_pair(
+            strs_a, strs_b, lambda x, y: _ngram3_cached(str(x), str(y))
         )
+        prov["best_str_a"], prov["best_str_b"] = pa, pb
         parts.append(s)
     if not parts:
-        return 0.0, 0.0, 0.0, 0.0, 0.0
-    return num, date, s, sum(parts) / len(parts), max(parts)
+        return 0.0, 0.0, 0.0, 0.0, 0.0, prov
+    return num, date, s, sum(parts) / len(parts), max(parts), prov
 
 
 def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -153,6 +185,9 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     overlap/count features run JVM-side — see score_pairs."""
     n = len(pdf)
     cols = {name: np.zeros(n) for name in _PY_FEATURES}
+    prov_cols: dict[str, list] = {
+        name: [None] * n for pair in _PROV_FIELDS for name in pair
+    }
     ma = pdf["mention_a"].tolist()
     mb = pdf["mention_b"].tolist()
     lna = pdf["lit_numbers_a"].tolist()
@@ -167,9 +202,11 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         b = mb[i] or ""
         cols["ed_score"][i] = 1.0 - sim.levenshtein_norm(a, b)
         cols["jw_score"][i] = sim.jaro_winkler(a, b)
-        lit_num, lit_date, lit_str, lit_mean, lit_max = _lit_sims(
+        lit_num, lit_date, lit_str, lit_mean, lit_max, prov = _lit_sims(
             lna[i], lnb[i], lda[i], ldb[i], lsa[i], lsb[i]
         )
+        for name, v in prov.items():
+            prov_cols[name][i] = v
         cols["lit_num_sim"][i] = lit_num
         cols["lit_date_sim"][i] = lit_date
         cols["lit_str_sim"][i] = lit_str
@@ -178,7 +215,10 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         cols["lit_date_close"][i] = _close(lit_date, 0.999)
         cols["p_subj_lit_datatype"][i] = lit_mean
         cols["p_subj_lit_all_datatype"][i] = lit_max
-    return pd.DataFrame(cols)
+    out = pd.DataFrame(cols)
+    for name, vals in prov_cols.items():
+        out[name] = vals
+    return out
 
 
 _SIDE_ARRAYS_TYPE = T.StructType(
@@ -315,6 +355,30 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
     score = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-F.lit(SCORE_SLOPE) * (lin - F.lit(SCORE_CENTER)))
     )
+    # R2 provenance (alligator/feature.py:313-359 analogue): which literal
+    # evidence produced each kind's similarity, plus the per-kind score map
+    def match_struct(kind: str, va: str, vb: str, s: str):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            F.col(f"_f.{va}").alias("value_a"),
+            F.col(f"_f.{vb}").alias("value_b"),
+            F.col(f"_f.{s}").alias("sim"),
+        )
+
+    matches = F.filter(
+        F.array(
+            match_struct("number", "best_num_a", "best_num_b", "lit_num_sim"),
+            match_struct("date", "best_date_a", "best_date_b", "lit_date_sim"),
+            match_struct("string", "best_str_a", "best_str_b", "lit_str_sim"),
+        ),
+        lambda x: x["value_a"].isNotNull(),
+    )
+    predicates = F.map_from_arrays(
+        F.array(F.lit("number"), F.lit("date"), F.lit("string")),
+        F.array(
+            F.col("_f.lit_num_sim"), F.col("_f.lit_date_sim"), F.col("_f.lit_str_sim")
+        ),
+    )
     scored = withf.select(
         "doc_a",
         "doc_b",
@@ -323,6 +387,8 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
             F.array(*[F.lit(n) for n in FEATURE_NAMES]),
             F.array(*[feat_col[n] for n in FEATURE_NAMES]),
         ).alias("features"),
+        matches.alias("matches"),
+        predicates.alias("predicates"),
         score.alias("score"),
     )
     return scored

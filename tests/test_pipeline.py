@@ -187,6 +187,40 @@ class TestClustering:
         assert len(comps) == n + 1
 
 
+class TestProvenance:
+    def test_matches_and_predicates_recorded(self, spark):
+        # R2 provenance (alligator/feature.py:313-359): scored edges carry
+        # WHICH literal values produced each kind's similarity
+        from alligator_spark.operators.scoring import score_pairs
+
+        norm = spark.createDataFrame(
+            [
+                ("a", "acme corp", "acme corp 100 2001", ["100", "7"], ["2001"], []),
+                ("b", "acme corp", "acme corp 101 2001", ["101"], ["2001"], []),
+            ],
+            "doc_id string, norm_mention string, row_text string, "
+            "lit_numbers array<string>, lit_dates array<string>, "
+            "lit_strings array<string>",
+        )
+        pairs = spark.createDataFrame([("a", "b", "k")], ["doc_a", "doc_b", "block_key"])
+        row = score_pairs(pairs, norm).collect()[0]
+        assert set(row.asDict()) >= {"features", "matches", "predicates", "score"}
+        m = {x["kind"]: x for x in row["matches"]}
+        # best number pair is 100 vs 101 (closest), not 7 vs 101
+        assert m["number"]["value_a"] == "100" and m["number"]["value_b"] == "101"
+        assert m["date"]["value_a"] == "2001" and m["date"]["sim"] == 1.0
+        assert "string" not in m  # no string literals on either side
+        assert row["predicates"]["date"] == 1.0
+        assert row["predicates"]["string"] == 0.0
+
+    def test_provenance_survives_rerank_and_checkpoint(self, spark, pipeline_out):
+        out, _ = pipeline_out
+        cols = out["final_edges"].columns
+        assert "matches" in cols and "predicates" in cols
+        row = out["final_edges"].limit(1).collect()[0]
+        assert isinstance(row["predicates"], dict)
+
+
 class TestDeterminism:
     def test_datagen_stable_across_partitionings(self, spark):
         spec = CorpusSpec(n_entities=5, dups_per_entity=2, n_distractors=5)
