@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from alligator_spark.functions import similarity as sim
+from alligator_spark.functions.textnorm import tokenize_text_col
 
 MATCH_MIN_SCORE = 0.75
 MATCH_STRONG_SCORE = 0.92
@@ -317,14 +318,18 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
         "jaccardNgram_score": ov("g3_m_a", "g3_m_b"),
         "desc": ov("gw_r_a", "gw_r_b"),
         "descNgram": ov("g3_r_a", "g3_r_b"),
+        # F3/F5 parity: token_based similarity over tokenize_text sets
+        # (lowercase, word_tokenize-approx, English stopwords removed —
+        # alligator/utils.py:50-53,143-150), all JVM expressions
         "p_subj_lit_row": F.size(
             F.array_intersect(
-                F.split("row_text_a", " "), F.split("row_text_b", " ")
+                tokenize_text_col(F.col("row_text_a")),
+                tokenize_text_col(F.col("row_text_b")),
             )
         )
         / F.greatest(
-            F.size(F.array_distinct(F.split("row_text_a", " "))),
-            F.size(F.array_distinct(F.split("row_text_b", " "))),
+            F.size(tokenize_text_col(F.col("row_text_a"))),
+            F.size(tokenize_text_col(F.col("row_text_b"))),
             F.lit(1),
         ),
     }

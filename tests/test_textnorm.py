@@ -43,6 +43,41 @@ class TestCleanStr:
         assert got[0] == "name [abc]"
 
 
+class TestTokenizeText:
+    """F3 golden cases (reference tokenize_text, alligator/utils.py:50-53:
+    word_tokenize + lowercase + drop English stopwords). Our tokenizer is
+    a documented Treebank approximation: punctuation splits off as single
+    tokens; contractions stay whole (NLTK would split "don't" -> "do",
+    "n't") — the embedded stopword list covers the whole forms."""
+
+    def test_scalar_golden_cases(self):
+        from alligator_spark.functions.textnorm import tokenize_text
+
+        assert tokenize_text("The Quick Brown Fox!") == {
+            "quick", "brown", "fox", "!",
+        }
+        # stopwords dropped, case-insensitive
+        assert tokenize_text("This is THE house of it") == {"house"}
+        # contraction is a single token AND a stopword -> dropped whole
+        assert tokenize_text("don't panic") == {"panic"}
+        # punctuation separates from words like word_tokenize
+        assert tokenize_text("alpha, beta.") == {"alpha", ",", "beta", "."}
+        assert tokenize_text("") == set()
+
+    def test_column_matches_scalar(self, spark):
+        from alligator_spark.functions.textnorm import (
+            tokenize_text,
+            tokenize_text_col,
+        )
+
+        vals = ["The Quick Brown Fox!", "don't panic", "a b c", "it's O'Brien's"]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = [
+            set(r[0]) for r in df.select(tokenize_text_col(F.col("v"))).collect()
+        ]
+        assert got == [tokenize_text(v) for v in vals]
+
+
 class TestTokenSortKey:
     def test_sorted_distinct(self, spark):
         df = spark.createDataFrame([("b a c a",)], ["v"])
