@@ -87,6 +87,63 @@ def q_er_exact_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "component_id")
 
 
+def q_er_planted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full blocking->scoring->clustering pipeline with an EXACT oracle:
+    the corpus is the documents table plus two planted duplicates per doc
+    whose mentions differ only by clean_str-invariant noise (case flips,
+    underscores for spaces, a bracketed ref suffix — exactly the noise
+    alligator/utils.py:56-75 normalizes away). Literal spans (the doc_id
+    as a number, its md5 as a string) are identical within a group and
+    dissimilar across groups, so every planted group must fully cluster
+    and nothing else may merge: the expected components are closed-form.
+
+    Rerank is disabled here by design: its corpus-global boost promotes
+    genuinely near-identical cross-doc texts (a correct behavior with its
+    own exact oracles), which would make this query's expected output
+    corpus-dependent.
+    """
+    from alligator_spark.operators.blocking import BlockingConfig
+    from alligator_spark.operators.rerank import RerankConfig
+    from alligator_spark.plans.pipeline import PipelineConfig, run_linkage
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def variant(suffix: str, mention):
+        def span(kind, text, off):
+            return F.struct(
+                F.lit(kind).alias("kind"),
+                text.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(off).alias("offset"),
+            )
+
+        return docs.select(
+            F.concat(
+                F.lit("d"), F.col("doc_id").cast("string"), F.lit(suffix)
+            ).alias("doc_id"),
+            F.array(
+                span("mention", mention, 0),
+                span("literal_number", F.col("doc_id").cast("string"), 1),
+                span("literal_string", F.md5(F.col("doc_id").cast("string")), 2),
+            ).alias("spans"),
+        )
+
+    base = variant("", F.col("text"))
+    dup_a = variant(
+        "a",
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), " ", "_"), F.lit(" [1a]")
+        ),
+    )
+    dup_b = variant("b", F.concat(F.col("text"), F.lit(" [7x]")))
+    corpus = base.unionByName(dup_a).unionByName(dup_b)
+    cfg = PipelineConfig(
+        blocking=BlockingConfig(), rerank=RerankConfig(enabled=False)
+    )
+    out = run_linkage(spark, corpus, cfg)
+    return out["components"].select("doc_id", "component_id")
+
+
 def q_block_keys_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sort blocking key per document (SURVEY §7.1 step 3)."""
     from alligator_spark.functions.textnorm import token_sort_key_col
@@ -641,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": q_er_clusters,
         "er_cluster_sizes": q_er_cluster_sizes,
         "er_exact_components": q_er_exact_components,
+        "er_planted_clusters": q_er_planted_clusters,
         "block_keys_token_sort": q_block_keys_token_sort,
         "clean_str": q_clean_str,
         "scan_project_filter": q_scan_project_filter,
@@ -692,6 +750,16 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents)
             SELECT doc_id, min(doc_id) OVER (PARTITION BY ctext) AS component_id
             FROM c
+        """,
+        "er_planted_clusters": """
+            WITH c AS (
+              SELECT 'd' || doc_id AS doc_id, 'd' || doc_id AS component_id
+              FROM documents
+              UNION ALL
+              SELECT 'd' || doc_id || 'a', 'd' || doc_id FROM documents
+              UNION ALL
+              SELECT 'd' || doc_id || 'b', 'd' || doc_id FROM documents)
+            SELECT doc_id, component_id FROM c
         """,
         "block_keys_token_sort": f"""
             WITH c AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),

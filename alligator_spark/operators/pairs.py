@@ -32,6 +32,33 @@ class PairConfig:
     drop_block_size: int = 100_000
 
 
+def exact_mention_pairs(normalized: DataFrame) -> DataFrame:
+    """A1-style exact-duplicate star (reference distinct-mention dedup,
+    alligator/processors.py:133-160): docs with an IDENTICAL normalized
+    mention are each paired to their group's min doc_id. O(n) edges per
+    group (heavy-hitter safe — a mention repeated 10^6 times yields a
+    star, never a quadratic block), and the star spans the group, so
+    transitive closure connects it whenever the scorer accepts the edges.
+
+    This guarantees exact-duplicate recall INDEPENDENT of block-size
+    caps: a salt-split of an oversized block partitions members by
+    doc_id hash and can separate exact duplicates — these edges put them
+    back. Returns (doc_a, doc_b, block_key='ex:<mention md5>')."""
+    m = normalized.select("doc_id", "norm_mention")
+    reps = m.groupBy("norm_mention").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n")
+    )
+    return (
+        m.join(reps.filter(F.col("n") > 1), "norm_mention")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.least("doc_id", "rep").alias("doc_a"),
+            F.greatest("doc_id", "rep").alias("doc_b"),
+            F.concat(F.lit("ex:"), F.md5("norm_mention")).alias("block_key"),
+        )
+    )
+
+
 def candidate_pairs(
     keys: DataFrame, cfg: PairConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:

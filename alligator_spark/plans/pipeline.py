@@ -28,7 +28,11 @@ from alligator_spark.operators.blocking import (
 from alligator_spark.operators.clustering import connected_components
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.output import cea_topk
-from alligator_spark.operators.pairs import PairConfig, candidate_pairs
+from alligator_spark.operators.pairs import (
+    PairConfig,
+    candidate_pairs,
+    exact_mention_pairs,
+)
 from alligator_spark.operators.rerank import RerankConfig, rerank_edges
 from alligator_spark.operators.scoring import ScoringConfig, accept_edges, score_pairs
 from alligator_spark.sources.tables import CheckpointManager
@@ -75,6 +79,11 @@ def run_linkage(
     sigs = minhash_signatures(normalized, cfg.blocking).persist()
     keys = block_keys(normalized, cfg.blocking, sigs=sigs)
     pairs, _ = candidate_pairs(keys, cfg.pairs)
+    # exact-duplicate star edges: recall guarantee block caps can't break
+    ex = exact_mention_pairs(normalized)
+    pairs = pairs.unionByName(
+        ex.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    )
     if cfg.blocking.fuzzy_enabled:
         pairs = pairs.persist()
         pairs = pairs.unionByName(
@@ -133,6 +142,10 @@ def run_pipeline(
 
     def build_pairs():
         base, _ = candidate_pairs(keys, cfg.pairs)
+        ex = exact_mention_pairs(normalized)
+        base = base.unionByName(
+            ex.join(base.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        )
         if not cfg.blocking.fuzzy_enabled:
             return base
         base = base.persist()  # read twice: rescue probe + union

@@ -90,21 +90,36 @@ def main() -> int:
             line = proc.stdout.strip().splitlines()[-1]
             runs[cores].append(json.loads(line))
             print(line, file=sys.stderr)
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
     for cores in cores_pair:
         results[cores] = max(runs[cores], key=lambda r: r["docs_per_sec"])
         results[cores]["all_runs_docs_per_sec"] = [
             r["docs_per_sec"] for r in runs[cores]
         ]
+        results[cores]["median_docs_per_sec"] = round(
+            median(results[cores]["all_runs_docs_per_sec"]), 1
+        )
 
     ratio = hi / lo
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
+    # the 0.8 gate runs on the MEDIAN of the interleaved runs (per-leg
+    # maxima from different interference windows can over/under-state
+    # efficiency under the host's external load); best-of is reported too
+    eff_med = (
+        results[hi]["median_docs_per_sec"] / results[lo]["median_docs_per_sec"]
+    ) / ratio
+    eff_best = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
     summary = {
         "spec": spec,
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
+        "scaling_efficiency_best": round(eff_best, 3),
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": eff_med >= 0.8,
     }
     print(json.dumps(summary))
     with open(out_md, "w") as f:
@@ -112,20 +127,23 @@ def main() -> int:
             "# BENCH_SCALING — two-parallelism throughput evidence\n\n"
             "Sandbox protocol for the north rule's two-cluster-size criterion\n"
             "(no real cluster available): the identical linkage job runs at\n"
-            "local[8] and local[32] on the same deterministic corpus.\n"
-            "The sandbox host carries an external background load of ~10\n"
-            "cores, so each leg runs multiple times interleaved and the best\n"
-            "(least-interfered) run counts; all runs are listed.\n\n"
+            f"local[{lo}] and local[{hi}] on the same deterministic corpus.\n"
+            "The sandbox host carries an external background load, so each\n"
+            "leg runs multiple times interleaved; the 0.8 efficiency gate\n"
+            "uses the MEDIAN docs/s per leg (best-of is also shown, and all\n"
+            "raw runs are listed).\n\n"
             f"- local[{lo}] runs (docs/s):  {results[lo]['all_runs_docs_per_sec']}\n"
             f"- local[{hi}] runs (docs/s): {results[hi]['all_runs_docs_per_sec']}\n"
             f"- corpus spec: `{spec}` ({results[lo]['docs']} docs)\n"
-            f"- local[{lo}]:  {results[lo]['wall_sec']} s -> "
-            f"{results[lo]['docs_per_sec']} docs/s\n"
-            f"- local[{hi}]: {results[hi]['wall_sec']} s -> "
-            f"{results[hi]['docs_per_sec']} docs/s\n"
-            f"- scaling efficiency = (docs/s@{hi} / docs/s@{lo}) / {ratio:.0f} = "
-            f"**{eff:.3f}** (target >= 0.8: "
-            f"{'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            f"- local[{lo}]:  median {results[lo]['median_docs_per_sec']} docs/s "
+            f"(best {results[lo]['docs_per_sec']})\n"
+            f"- local[{hi}]: median {results[hi]['median_docs_per_sec']} docs/s "
+            f"(best {results[hi]['docs_per_sec']})\n"
+            f"- scaling efficiency (median) = "
+            f"({results[hi]['median_docs_per_sec']} / "
+            f"{results[lo]['median_docs_per_sec']}) / {ratio:.0f} = "
+            f"**{eff_med:.3f}** (target >= 0.8: "
+            f"{'PASS' if eff_med >= 0.8 else 'FAIL'}; best-of {eff_best:.3f})\n"
         )
     return 0
 
