@@ -77,6 +77,13 @@ class RerankConfig:
     w_global: float = RERANK_W_GLOBAL
     center: float = RERANK_CENTER
     slope: float = RERANK_SLOPE
+    # pairs below this rank score can NEVER be accepted after rerank even
+    # at rw == 1.0 (w_rank*s1 + w_global >= center + ln(0.75/0.25)/slope
+    # requires s1 >= 0.598 with the default constants), so the expensive
+    # per-pair key explode skips them; they get the neutral-rw score and
+    # zeroed global features. Most candidate pairs are low-scoring, so
+    # this bounds the rerank's heavy stage to the plausible-match subset.
+    rw_floor: float = 0.55
 
 
 def candidate_topn(scored: DataFrame, n: int = RERANK_TOP_N) -> DataFrame:
@@ -258,14 +265,16 @@ def rerank_edges(
     rw_tok, rw_g3 — reference alligator/ml.py:166-199)."""
     cfg = cfg or RerankConfig()
     n_docs_df = normalized.agg(F.count("*").cast("long").alias("n_docs"))
-    topn = candidate_topn(scored, cfg.top_n)
+    # topn feeds three frequency aggregations — persist the one shuffle
+    topn = candidate_topn(scored, cfg.top_n).persist()
 
     tok_keys = mention_token_keys(normalized)
     g3_keys = mention_gram_keys(normalized)
     tok_freq = global_key_freq(topn, tok_keys, cfg.min_docs)
     g3_freq = global_key_freq(topn, g3_keys, cfg.min_docs)
 
-    pairs = scored.select("doc_a", "doc_b")
+    # heavy per-pair stage only for pairs that can possibly be accepted
+    pairs = scored.filter(F.col("score") >= cfg.rw_floor).select("doc_a", "doc_b")
     rw_tok = weighted_overlap(
         pairs, tok_keys, tok_freq, n_docs_df, "rw_tok", cta_col="cta_list"
     )

@@ -68,10 +68,11 @@ def run_linkage(
     """Uncheckpointed composition of all five stages (for tests/benchmarks
     and embedding in other plans); same dataflow as run_pipeline.
 
-    Reused intermediates are persisted: accept_edges reads the scored
-    edges from three plan branches and clustering iterates — without a
-    persist the pandas-UDF battery would re-run per branch (the
-    checkpointed run_pipeline gets the same effect from its stage tables).
+    Reused intermediates are materialized with localCheckpoint — both to
+    avoid re-running the pandas-UDF battery per consuming branch AND to
+    truncate the logical plan at stage boundaries (see the comment at the
+    checkpoint sites; the checkpointed run_pipeline gets the same effect
+    from its parquet stage tables).
     """
     cfg = cfg or PipelineConfig()
     normalized = normalize_docs(docs).persist()
@@ -84,15 +85,25 @@ def run_linkage(
     pairs = pairs.unionByName(
         ex.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
     )
+    # Stage boundaries use localCheckpoint (materialize + TRUNCATE the
+    # logical plan), not bare persist: the rerank/accept stages reference
+    # their input subtree many times, and with lazy persists the logical
+    # tree grows combinatorially — Catalyst then re-analyzes a huge plan
+    # for every action and driver-side planning, not execution, dominates
+    # (measured: 75 s accept / 131 s CC at sf0.1 with persists vs ~3 s
+    # truncated). run_pipeline gets the same truncation from its parquet
+    # stage tables.
     if cfg.blocking.fuzzy_enabled:
-        pairs = pairs.persist()
+        pairs = pairs.localCheckpoint(eager=True)
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
-    ranked = score_pairs(pairs, normalized).persist()
+    ranked = score_pairs(pairs, normalized).localCheckpoint(eager=True)
     if cfg.rerank.enabled:
         # M3: global-frequency rerank between rank and the match decision
-        ranked = rerank_edges(ranked, normalized, cfg.rerank).persist()
+        ranked = rerank_edges(ranked, normalized, cfg.rerank).localCheckpoint(
+            eager=True
+        )
     scored = accept_edges(ranked, cfg.scoring)
     components = connected_components(
         scored.filter("accepted").select("doc_a", "doc_b"),
