@@ -27,6 +27,11 @@ SMOKE = [
     "arrays_overlap_semijoin",
     "sorted_freq_lists",
     "sample_scan",
+    "rerank_token_freq",
+    "cea_topk",
+    "quality_score",
+    "fingerprints",
+    "media_decode",
 ]
 
 
