@@ -14,12 +14,27 @@ hash joins + partial aggregations — no collect_list, so a giant star
               emit (v, m) for v in N(u), plus (u, m).
 
 Converges in O(log^2 n) rounds; our clusters are near-cliques so it
-typically converges in 2-3. Each round is localCheckpoint()ed to truncate
-lineage (driver-side iteration is the one thing Catalyst cannot express —
-SURVEY §4).
+typically converges in 2-3. Driver-side iteration is the one thing
+Catalyst cannot express (SURVEY §4), so the loop is engineered for
+minimum serial driver cost: rounds are fused in PAIRS into a single
+Spark job — a lazy localCheckpoint marks the round-2k output, and the
+convergence fingerprint aggregation is the action that materializes it
+(one job computes two star rounds, persists the result, truncates the
+logical plan, and returns the fingerprint). The old shape (eager
+checkpoint + separate fingerprint collect, every round) paid 2 driver
+jobs per round; this pays 1 per 2 rounds, which matters because CC's
+driver loop is pure serial time under the north rule's N->4N scaling
+gate (Amdahl: fixed cost F does not shrink with executors).
+
+Convergence check across a 2-round stride is sound: large-star /
+small-star strictly decrease a potential function unless at the fixed
+point (Kiveris et al. Thm 1-2), so edge-set equality two rounds apart
+can only happen AT the fixed point — oscillation is impossible.
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,26 +78,46 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, all_nodes: DataFrame | None = None, max_iter: int = 50
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(doc_a, doc_b) -> components(doc_id, component_id).
 
     ``all_nodes`` (one ``doc_id`` column) adds singleton components for
-    docs with no accepted edge.
+    docs with no accepted edge. ``stats`` (optional) records driver-loop
+    telemetry: rounds run, Spark jobs issued, per-job seconds.
     """
-    cur = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).distinct()
-    # localCheckpoint per round: materializes AND truncates lineage (a
-    # lazy persist chain would re-derive every prior round on access)
-    cur = cur.localCheckpoint(eager=True)
+    # lazy checkpoint: the first fingerprint job below materializes the
+    # initial distinct edge set, rounds 1-2 on top of it, and the round-2
+    # checkpoint — all in ONE job — then truncates lineage.
+    cur = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     prev_fp = None
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    rounds = jobs = 0
+    while rounds < max_iter:
+        cur = _small_star(_large_star(cur))
+        rounds += 1
+        if rounds % 2 == 0 or rounds == max_iter:
+            # one action per 2 rounds: materialize + truncate + fingerprint
+            cur = cur.localCheckpoint(eager=False)
+            t0 = time.monotonic()
+            fp = _fingerprint(cur)
+            jobs += 1
+            if stats is not None:
+                stats.setdefault("job_secs", []).append(
+                    round(time.monotonic() - t0, 3)
+                )
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["jobs"] = jobs
     # after convergence every edge points child -> root
     comps = cur.select(
         F.col("src").alias("doc_id"), F.col("dst").alias("component_id")

@@ -63,7 +63,10 @@ STAGES = [
 
 
 def run_linkage(
-    spark: SparkSession, docs: DataFrame, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: PipelineConfig | None = None,
+    stage_times: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed composition of all five stages (for tests/benchmarks
     and embedding in other plans); same dataflow as run_pipeline.
@@ -73,7 +76,21 @@ def run_linkage(
     truncate the logical plan at stage boundaries (see the comment at the
     checkpoint sites; the checkpointed run_pipeline gets the same effect
     from its parquet stage tables).
+
+    ``stage_times`` (optional) records wall seconds of each eager stage
+    materialization plus the CC driver-loop telemetry — the measurement
+    feed for the scaling-efficiency work (BENCH_SCALING.md).
     """
+    import time as _time
+
+    def timed(name: str, df: DataFrame) -> DataFrame:
+        if stage_times is None:
+            return df.localCheckpoint(eager=True)
+        t0 = _time.monotonic()
+        out = df.localCheckpoint(eager=True)
+        stage_times[name] = round(_time.monotonic() - t0, 2)
+        return out
+
     cfg = cfg or PipelineConfig()
     normalized = normalize_docs(docs).persist()
     # one MinHash pass, shared by strict blocking AND the fuzzy retry
@@ -94,21 +111,25 @@ def run_linkage(
     # truncated). run_pipeline gets the same truncation from its parquet
     # stage tables.
     if cfg.blocking.fuzzy_enabled:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = timed("pairs_ckpt", pairs)
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
-    ranked = score_pairs(pairs, normalized).localCheckpoint(eager=True)
+    ranked = timed("score_ckpt", score_pairs(pairs, normalized))
     if cfg.rerank.enabled:
         # M3: global-frequency rerank between rank and the match decision
-        ranked = rerank_edges(ranked, normalized, cfg.rerank).localCheckpoint(
-            eager=True
-        )
+        ranked = timed("rerank_ckpt", rerank_edges(ranked, normalized, cfg.rerank))
     scored = accept_edges(ranked, cfg.scoring)
+    cc_stats: dict | None = {} if stage_times is not None else None
+    t_cc = _time.monotonic()
     components = connected_components(
         scored.filter("accepted").select("doc_a", "doc_b"),
         all_nodes=normalized.select("doc_id"),
+        stats=cc_stats,
     )
+    if stage_times is not None:
+        stage_times["cc_build"] = round(_time.monotonic() - t_cc, 2)
+        stage_times["cc"] = cc_stats
     clusters = docs.join(components, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component_id", "doc_id").alias("component_id"),

@@ -34,10 +34,13 @@ def single_run(cores: int, spec_str: str) -> None:
     spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
     spec = parse_spec(spec_str)
+    stage_times: dict = {}
     t0 = time.monotonic()
     docs = generate_docs(spark, spec)
-    out = run_linkage(spark, docs)
+    out = run_linkage(spark, docs, stage_times=stage_times)
+    tc = time.monotonic()
     n = out["components"].count()
+    stage_times["final_count"] = round(time.monotonic() - tc, 2)
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -47,6 +50,7 @@ def single_run(cores: int, spec_str: str) -> None:
                 "rows": n,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(spec.n_docs / wall, 1),
+                "stage_times": stage_times,
             }
         )
     )
