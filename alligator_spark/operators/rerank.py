@@ -36,17 +36,23 @@ of the pair's mention-token union) and ``cpa_t1..t3`` (global kind freq x
 pair literal sim, sorted desc) are recorded for reference parity.
 
 Scale notes: the frequency tables are pruned to keys seen in >= min_docs
-docs (a pruned key reads back as count 0 = max rarity via the left join),
-so they stay broadcast-sized no matter the corpus; the per-pair explode
-is O(pairs x keys-per-mention), the same order as the rank battery.
+docs (a pruned key reads back as count 0 = max rarity via the left join).
+Pruning bounds them by DOC frequency, not vocabulary size, so the token
+table still grows with corpus vocabulary — the freq join therefore
+carries no broadcast hint (AQE broadcasts while small, shuffles once it
+is not). The per-pair explode is O(pairs x keys-per-mention), the same
+order as the rank battery.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from alligator_spark.operators.scoring import MATCH_MIN_SCORE
 
 RERANK_TOP_N = 3  # reference top_n_cta_cpa_freq (alligator/feature.py:229)
 
@@ -83,7 +89,28 @@ class RerankConfig:
     # per-pair key explode skips them; they get the neutral-rw score and
     # zeroed global features. Most candidate pairs are low-scoring, so
     # this bounds the rerank's heavy stage to the plausible-match subset.
+    # The bound is DERIVED (rw_floor_bound) and asserted at construction:
+    # a floor above it would silently drop acceptable pairs if the scorer
+    # constants ever drift.
     rw_floor: float = 0.55
+
+    def rw_floor_bound(self) -> float:
+        """Largest safe prefilter floor: the lowest rank-stage score s1
+        that can still reach the borderline acceptance threshold at the
+        maximal global overlap rw == 1.0. From
+        sigmoid(slope*(w_rank*s1 + w_global*1 - center)) >= MATCH_MIN_SCORE:
+        s1 >= (center + logit(MIN)/slope - w_global) / w_rank."""
+        logit = math.log(MATCH_MIN_SCORE / (1.0 - MATCH_MIN_SCORE))
+        return (self.center + logit / self.slope - self.w_global) / self.w_rank
+
+    def __post_init__(self):
+        bound = self.rw_floor_bound()
+        if self.rw_floor > bound + 1e-12:
+            raise ValueError(
+                f"rw_floor={self.rw_floor} exceeds the safe bound "
+                f"{bound:.6f} derived from slope/center/weights — the "
+                "prefilter would drop pairs the match decision could accept"
+            )
 
 
 def candidate_topn(scored: DataFrame, n: int = RERANK_TOP_N) -> DataFrame:
@@ -163,12 +190,20 @@ def weighted_overlap(
     doc_count; missing key -> n_docs) summed exactly, one final double
     division; when every union key is ubiquitous (union weight 0) the
     overlap is neutral 0.5 — the rank-stage score must decide alone."""
-    sides = _keys_per_doc(doc_keys)
+    # shuffle-hash, never broadcast: the per-doc key-set table is the
+    # CORPUS (a broadcast build is serial driver time growing with it)
+    sides = _keys_per_doc(doc_keys).hint("shuffle_hash")
     enriched = (
         pairs.select("doc_a", "doc_b")
         .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("keys").alias("ka")), "doc_a")
         .join(sides.select(F.col("doc_id").alias("doc_b"), F.col("keys").alias("kb")), "doc_b")
     )
+    # the explode amplifies each pair ~|keys| times, but partition COUNT
+    # was fixed by the (tiny, compressed) pre-explode shuffle — AQE
+    # coalesces it to a couple of tasks and the heavy stage serializes.
+    # Spread before exploding (same fix as the scoring battery).
+    sc = pairs.sparkSession.sparkContext
+    enriched = enriched.repartition(max(sc.defaultParallelism * 2, 8))
     ex = enriched.select(
         "doc_a",
         "doc_b",
@@ -183,7 +218,11 @@ def weighted_overlap(
         F.array_contains("kb", F.col("key")).alias("in_b"),
     )
     j = (
-        ex.join(F.broadcast(freq), "key", "left")
+        # no forced broadcast: the token table grows with corpus vocabulary
+        # (min_docs pruning bounds by doc frequency, not vocab size), so at
+        # corpus scale it can exceed broadcast limits — AQE picks broadcast
+        # while it is small and a shuffle join once it is not
+        ex.join(freq, "key", "left")
         .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
             "rar", (F.col("n_docs") - F.coalesce("doc_count", F.lit(0))).cast("long")

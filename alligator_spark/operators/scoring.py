@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from alligator_spark.functions import similarity as sim
-from alligator_spark.functions.textnorm import tokenize_text_col
 
 MATCH_MIN_SCORE = 0.75
 MATCH_STRONG_SCORE = 0.92
@@ -228,6 +227,11 @@ _SIDE_ARRAYS_TYPE = T.StructType(
         T.StructField("tok_m", T.ArrayType(T.LongType())),
         T.StructField("g3_r", T.ArrayType(T.LongType())),
         T.StructField("gw_r", T.ArrayType(T.LongType())),
+        # stopword-filtered row tokens (tokenize_text), crc32-hashed:
+        # computed ONCE per doc so the pair battery never re-tokenizes
+        # (the old per-pair regexp_extract_all ran 4x per pair row) and
+        # the raw row_text never ships through the pair shuffles
+        T.StructField("st_r", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -239,9 +243,25 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
     per pair was the dominant cost (each doc appears in ~dozens of pairs
     and random repartitioning defeats batch-local caches)."""
 
+    import zlib
+
+    from alligator_spark.functions.textnorm import tokenize_text
+
+    def _stop_tok_hashes(r: str) -> np.ndarray:
+        toks = tokenize_text(r)
+        if not toks:
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(
+            np.fromiter(
+                (zlib.crc32(t.encode()) for t in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+        ).astype(np.int64)
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"g3_m": [], "tok_m": [], "g3_r": [], "gw_r": []}
+            out = {"g3_m": [], "tok_m": [], "g3_r": [], "gw_r": [], "st_r": []}
             for m, r in zip(pdf["norm_mention"], pdf["row_text"]):
                 m = m or ""
                 r = r or ""
@@ -249,7 +269,8 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
                 out["tok_m"].append(sim.token_hash_array(m).astype(np.int64))
                 out["g3_r"].append(sim.ngram_hash_array(r, 3).astype(np.int64))
                 out["gw_r"].append(sim.ngram_hash_array(r, None).astype(np.int64))
-            res = pdf[["doc_id", "norm_mention", "row_text",
+                out["st_r"].append(_stop_tok_hashes(r))
+            res = pdf[["doc_id", "norm_mention",
                        "lit_numbers", "lit_dates", "lit_strings"]].copy()
             for k, v in out.items():
                 res[k] = v
@@ -259,7 +280,6 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
         [
             T.StructField("doc_id", T.StringType()),
             T.StructField("norm_mention", T.StringType()),
-            T.StructField("row_text", T.StringType()),
             T.StructField("lit_numbers", T.ArrayType(T.StringType())),
             T.StructField("lit_dates", T.ArrayType(T.StringType())),
             T.StructField("lit_strings", T.ArrayType(T.StringType())),
@@ -273,8 +293,8 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
 
 
 _SIDE_COLS = [
-    "norm_mention", "row_text", "lit_numbers", "lit_dates", "lit_strings",
-    "g3_m", "tok_m", "g3_r", "gw_r",
+    "norm_mention", "lit_numbers", "lit_dates", "lit_strings",
+    "g3_m", "tok_m", "g3_r", "gw_r", "st_r",
 ]
 
 
@@ -295,7 +315,14 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
             ],
         )
 
-    enriched = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    # shuffle-hash, never broadcast: the feature side is the CORPUS — a
+    # broadcast would serially collect+rebuild it on the driver per run
+    # (measured: the dominant non-scaling cost of this stage) and cannot
+    # exist at real scale. Both sides shuffle on doc id; the hash table
+    # builds on the (smaller) per-doc feature side within each partition.
+    enriched = pairs.join(side("a").hint("shuffle_hash"), "doc_a").join(
+        side("b").hint("shuffle_hash"), "doc_b"
+    )
     # AQE targets ~64MB partitions — right for JVM operators, wrong for a
     # CPU-bound Python stage (a 25MB pair table coalesces to ONE task and
     # serializes the whole battery). Spread explicitly across cores.
@@ -320,18 +347,9 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
         "descNgram": ov("g3_r_a", "g3_r_b"),
         # F3/F5 parity: token_based similarity over tokenize_text sets
         # (lowercase, word_tokenize-approx, English stopwords removed —
-        # alligator/utils.py:50-53,143-150), all JVM expressions
-        "p_subj_lit_row": F.size(
-            F.array_intersect(
-                tokenize_text_col(F.col("row_text_a")),
-                tokenize_text_col(F.col("row_text_b")),
-            )
-        )
-        / F.greatest(
-            F.size(tokenize_text_col(F.col("row_text_a"))),
-            F.size(tokenize_text_col(F.col("row_text_b"))),
-            F.lit(1),
-        ),
+        # alligator/utils.py:50-53,143-150) on the per-DOC precomputed
+        # hash arrays: O(docs) tokenization, JVM array_intersect per pair
+        "p_subj_lit_row": ov("st_r_a", "st_r_b"),
     }
 
     # light Python half: levenshtein + jaro-winkler + literal sims

@@ -122,6 +122,10 @@ def lsh_topk(
         wb = Window.partitionBy("bucket").orderBy("neighbor_id")
         c = c.withColumn("_bn", F.row_number().over(wb))
         if stats_acc is not None:
+            # materialize the numbered corpus ONCE so the truncation count
+            # and the filter read the same data — the previous shape ran
+            # the bucket window twice (one eager stats job + one lazy)
+            c = c.localCheckpoint(eager=True)
             row = c.agg(
                 F.sum((F.col("_bn") > max_bucket).cast("long")).alias("truncated")
             ).collect()[0]
@@ -197,10 +201,27 @@ def ivf_topk(
     ~sqrt(N) vectors; recall rises with nprobe (nprobe == n_centroids
     degenerates to exact search).
     """
+    # sample scales with the requested centroid count (>= 32 rows per
+    # centroid) so a sqrt(N)-sized n_centroids is never silently capped by
+    # a fixed sample; xxhash64 ordering = deterministic pseudo-random
+    # sample independent of partitioning, fetched as a per-partition
+    # top-K (TakeOrdered — no global sort of the corpus)
+    sample_size = max(sample_size, 32 * n_centroids)
     sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
     )
     sample = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    if n_centroids > len(sample):
+        import warnings
+
+        warnings.warn(
+            f"ivf_topk: corpus sample ({len(sample)} rows) smaller than "
+            f"n_centroids={n_centroids}; capping centroids to the sample",
+            stacklevel=2,
+        )
     n_centroids = min(n_centroids, len(sample))
     cent = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
 

@@ -50,7 +50,19 @@ def get_spark(
         # or 32 concurrent tasks thrash GC (measured 2.4x slowdown at 16g)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8MB broadcast ceiling (static AND adaptive): corpus-derived
+        # tables (featurized docs, per-doc key sets) must NEVER be
+        # broadcast — a broadcast build is serial driver time that grows
+        # with the corpus (measured r3: ~67s of the score stage at 150k
+        # docs was the planner broadcasting the whole featurized corpus
+        # under the 64MB default), and at real scale it would OOM the
+        # driver outright. Genuinely small dims still fit under 8MB, and
+        # explicit F.broadcast hints are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(8 * 1024 * 1024),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -157,3 +157,45 @@ class TestRerankAccuracy:
         for k in ["cta_t1", "cta_t5", "cpa_t1", "rw_tok", "rw_g3"]:
             assert k in feats
         assert "rank_score" in out["final_edges"].columns
+
+
+class TestRwFloorBound:
+    """VERDICT r2 'what's wrong #6': the prefilter floor must be DERIVED
+    from the scorer constants, not hand-maintained — a floor above the
+    bound silently drops pairs the match decision could accept."""
+
+    def test_default_floor_below_derived_bound(self):
+        from alligator_spark.operators.rerank import RerankConfig
+
+        cfg = RerankConfig()
+        assert cfg.rw_floor <= cfg.rw_floor_bound()
+        # the documented algebra: (center + ln(3)/slope - w_global)/w_rank
+        import math
+
+        expect = (0.675 + math.log(3) / 25.0 - 0.3) / 0.7
+        assert cfg.rw_floor_bound() == pytest.approx(expect)
+
+    def test_unsafe_floor_rejected_at_construction(self):
+        from alligator_spark.operators.rerank import RerankConfig
+
+        with pytest.raises(ValueError, match="rw_floor"):
+            RerankConfig(rw_floor=0.7)
+        # drifting a scorer constant tightens the bound -> same floor now
+        # unsafe -> construction must fail, not silently drop pairs
+        with pytest.raises(ValueError, match="rw_floor"):
+            RerankConfig(w_global=0.45, rw_floor=0.55)
+
+    def test_floor_skipped_pairs_can_never_be_accepted(self):
+        # property: for any rank score s1 <= rw_floor, even the maximal
+        # global overlap rw == 1.0 cannot lift the rerank score to the
+        # borderline acceptance threshold
+        import math
+
+        from alligator_spark.operators.rerank import RerankConfig
+        from alligator_spark.operators.scoring import MATCH_MIN_SCORE
+
+        cfg = RerankConfig()
+        for s1 in [0.0, 0.3, 0.5, cfg.rw_floor - 1e-9, cfg.rw_floor]:
+            lin = cfg.w_rank * s1 + cfg.w_global * 1.0 - cfg.center
+            score2 = 1.0 / (1.0 + math.exp(-cfg.slope * lin))
+            assert score2 < MATCH_MIN_SCORE, (s1, score2)
