@@ -1,8 +1,14 @@
-"""Evaluation: labeled co-blocked pairs + set-based pairwise P/R/F1.
+"""Evaluation: labeled co-blocked pairs + set-based pairwise P/R/F1 +
+hierarchical CTA-style credit.
 
 Mirrors the reference's set-based precision/recall/F1
 (``eval/evaluators/cea_wd.py:37-63``): correct = |pred ∩ gold|,
-P = correct/|pred|, R = correct/|gold|, F1 = 2PR/(P+R).
+P = correct/|pred|, R = correct/|gold|, F1 = 2PR/(P+R); and the
+hierarchical CTA grading (``eval/evaluators/cta_wd.py:66-95``): an exact
+annotation scores 1.0, an ancestor of the gold type at depth d <= 5
+scores 0.8^d, a descendant at depth d <= 3 scores 0.7^d, anything else 0;
+per column the max over gold types counts, P = total/|annotated|,
+R = total/|gold columns|.
 
 The evaluation universe is FIXTURES.md §2 ``labeled_pairs``: unordered
 doc pairs sharing at least one blocking key, labeled is_match from gold
@@ -78,3 +84,90 @@ def pairwise_prf(labeled: DataFrame, components: DataFrame) -> dict[str, float]:
     r = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+
+
+def hierarchical_prf(
+    submission: DataFrame,
+    gt: DataFrame,
+    ancestors: DataFrame | None = None,
+    descendants: DataFrame | None = None,
+    max_ancestor_depth: int = 5,
+    max_descendant_depth: int = 3,
+) -> dict[str, float]:
+    """CTA-style hierarchical credit (eval/evaluators/cta_wd.py:66-95).
+
+    * submission(col_id, annotation) — ONE annotation per column (the
+      reference raises on duplicates; here duplicate col_ids raise too).
+    * gt(col_id, gt_type) — gold types, possibly several per column.
+    * ancestors(gt_type, node, depth) — node is an ancestor of gt_type at
+      depth >= 1; credit 0.8^depth while depth <= max_ancestor_depth.
+    * descendants(gt_type, node, depth) — credit 0.7^depth while
+      depth <= max_descendant_depth.
+
+    Per annotated column the MAX credit over its gold types counts.
+    P = total/|annotated columns|, R = total/|gold columns|,
+    F1 = 2PR/(P+R). All comparisons case-insensitive like the reference.
+    """
+    spark = submission.sparkSession
+    dup = (
+        submission.groupBy("col_id").agg(F.count("*").alias("n")).filter("n > 1")
+    )
+    if dup.limit(1).count():
+        raise ValueError("Duplicate columns in the submission")
+
+    def lc(c):
+        return F.lower(F.col(c).cast("string"))
+
+    empty = spark.createDataFrame(
+        [], "gt_type string, node string, depth int"
+    )
+    anc = (ancestors if ancestors is not None else empty).select(
+        lc("gt_type").alias("gt_type"), lc("node").alias("node"), "depth"
+    )
+    desc = (descendants if descendants is not None else empty).select(
+        lc("gt_type").alias("gt_type"), lc("node").alias("node"), "depth"
+    )
+    sub = submission.select("col_id", lc("annotation").alias("annotation"))
+    gold = gt.select("col_id", lc("gt_type").alias("gt_type"))
+
+    cand = sub.join(gold, "col_id")
+    exact = F.when(F.col("annotation") == F.col("gt_type"), F.lit(1.0))
+    with_anc = cand.join(
+        anc.select(
+            "gt_type",
+            F.col("node").alias("annotation"),
+            F.col("depth").alias("anc_depth"),
+        ),
+        ["gt_type", "annotation"],
+        "left",
+    ).join(
+        desc.select(
+            "gt_type",
+            F.col("node").alias("annotation"),
+            F.col("depth").alias("desc_depth"),
+        ),
+        ["gt_type", "annotation"],
+        "left",
+    )
+    credit = F.coalesce(
+        exact,
+        F.when(
+            F.col("anc_depth") <= max_ancestor_depth,
+            F.pow(F.lit(0.8), F.col("anc_depth")),
+        ),
+        F.when(
+            F.col("desc_depth") <= max_descendant_depth,
+            F.pow(F.lit(0.7), F.col("desc_depth")),
+        ),
+        F.lit(0.0),
+    )
+    per_col = with_anc.select("col_id", credit.alias("credit")).groupBy(
+        "col_id"
+    ).agg(F.max("credit").alias("credit"))
+    total = (per_col.agg(F.sum("credit")).collect()[0][0]) or 0.0
+    n_annotated = sub.count()
+    n_cols = gold.select("col_id").distinct().count()
+    p = total / n_annotated if n_annotated else 0.0
+    r = total / n_cols if n_cols else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "total_score": total}

@@ -26,8 +26,10 @@ from alligator_spark.operators.blocking import (
     minhash_signatures,
 )
 from alligator_spark.operators.clustering import connected_components
+from alligator_spark.operators.cta import cpa_winners, cta_winners
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.output import cea_topk
+from alligator_spark.operators.rerank import mention_token_keys
 from alligator_spark.operators.pairs import (
     PairConfig,
     candidate_pairs,
@@ -56,8 +58,9 @@ STAGES = [
     "normalized",
     "block_keys",
     "candidate_edges",
-    "scored_edges",
-    "reranked_edges",
+    "scored_edges",  # ALWAYS the raw rank-stage output (fixed semantics)
+    "reranked_edges",  # rerank output pre-accept (only when cfg.rerank.enabled)
+    "accepted_edges",  # match decision applied (both paths)
     "components",
 ]
 
@@ -115,7 +118,8 @@ def run_linkage(
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
-    ranked = timed("score_ckpt", score_pairs(pairs, normalized))
+    rank_raw = timed("score_ckpt", score_pairs(pairs, normalized))
+    ranked = rank_raw
     if cfg.rerank.enabled:
         # M3: global-frequency rerank between rank and the match decision
         ranked = timed("rerank_ckpt", rerank_edges(ranked, normalized, cfg.rerank))
@@ -139,12 +143,17 @@ def run_linkage(
         "normalized": normalized,
         "block_keys": keys,
         "candidate_edges": pairs,
-        "scored_edges": scored,
+        "scored_edges": rank_raw,  # raw rank output (same contract as run_pipeline)
+        "accepted_edges": scored,
         "final_edges": scored,  # accepted edge table (post-rerank when enabled)
         "components": components,
         "clusters": clusters,
         # CEA-analogue: intact docs + top-5 ranked candidates (lazy)
         "cea": cea_topk(scored, docs),
+        # CTA/CPA-analogue final outputs (reference ml.py:237-269): per
+        # component the argmax-count mention tokens / literal kinds (lazy)
+        "cta": cta_winners(components, mention_token_keys(normalized)),
+        "cpa": cpa_winners(components, scored.filter("accepted")),
     }
 
 
@@ -186,19 +195,17 @@ def run_pipeline(
         )
 
     pairs = stage("candidate_edges", build_pairs)
+    # "scored_edges" has FIXED semantics in both paths (the raw rank-stage
+    # output) and acceptance commits as its own stage — a consumer written
+    # against one config never reads a semantically different table under
+    # the same name (the run_id-keyed paths additionally firewall resumes
+    # across config changes).
+    ranked = stage("scored_edges", lambda: score_pairs(pairs, normalized))
     if cfg.rerank.enabled:
-        ranked = stage("scored_edges", lambda: score_pairs(pairs, normalized))
-        scored = stage(
-            "reranked_edges",
-            lambda: accept_edges(
-                rerank_edges(ranked, normalized, cfg.rerank), cfg.scoring
-            ),
+        ranked = stage(
+            "reranked_edges", lambda: rerank_edges(ranked, normalized, cfg.rerank)
         )
-    else:
-        scored = stage(
-            "scored_edges",
-            lambda: accept_edges(score_pairs(pairs, normalized), cfg.scoring),
-        )
+    scored = stage("accepted_edges", lambda: accept_edges(ranked, cfg.scoring))
     components = stage(
         "components",
         lambda: connected_components(
@@ -209,6 +216,8 @@ def run_pipeline(
 
     out["final_edges"] = scored  # accepted edge table (post-rerank when enabled)
     out["cea"] = cea_topk(scored, docs)  # lazy; reads the committed stage
+    out["cta"] = cta_winners(components, mention_token_keys(normalized))
+    out["cpa"] = cpa_winners(components, scored.filter("accepted"))
     # final output: clusters joined back onto intact docs (spans untouched)
     out["clusters"] = docs.join(components, "doc_id", "left").select(
         "doc_id",

@@ -1,0 +1,141 @@
+"""CTA/CPA final outputs + hierarchical evaluation credit.
+
+Mirrors the reference's rerank-stage final writes (per-column argmax type
+/ predicate keys, ties kept — /root/reference/alligator/ml.py:237-269)
+and the CTA evaluator's 0.8^depth / 0.7^depth hierarchy credit
+(/root/reference/eval/evaluators/cta_wd.py:66-95).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alligator_spark.eval import hierarchical_prf
+from alligator_spark.operators.cta import cpa_winners, cta_winners
+
+
+class TestCtaWinners:
+    def test_argmax_with_ties_and_per_doc_dedup(self, spark):
+        comps = spark.createDataFrame(
+            [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d4", "c2")],
+            ["doc_id", "component_id"],
+        )
+        # d1 carries "x" twice -> must count once (per-doc dedup)
+        keys = spark.createDataFrame(
+            [
+                ("d1", "x"), ("d1", "x"), ("d1", "y"),
+                ("d2", "x"), ("d2", "y"),
+                ("d3", "z"),
+                ("d4", "w"),
+            ],
+            ["doc_id", "key"],
+        )
+        out = {
+            (r["component_id"], r["type_key"]): r["doc_count"]
+            for r in cta_winners(comps, keys).collect()
+        }
+        # c1: x->2 docs, y->2 docs (TIE, both kept), z->1
+        assert out == {("c1", "x"): 2, ("c1", "y"): 2, ("c2", "w"): 1}
+
+    def test_cpa_argmax_over_predicate_sums(self, spark):
+        comps = spark.createDataFrame(
+            [("d1", "c1"), ("d2", "c1"), ("d3", "c1")],
+            ["doc_id", "component_id"],
+        )
+        edges = spark.createDataFrame(
+            [
+                ("d1", "d2", {"number": 0.9, "string": 0.5}),
+                ("d2", "d3", {"number": 0.3, "string": 0.8, "date": 0.0}),
+            ],
+            ["doc_a", "doc_b", "predicates"],
+        )
+        out = {
+            (r["component_id"], r["pred_key"]): r["value_sum"]
+            for r in cpa_winners(comps, edges).collect()
+        }
+        # number: 1.2, string: 1.3 -> string wins; date filtered (value 0)
+        assert out == {("c1", "string"): 1.3}
+
+
+class TestHierarchicalPrf:
+    @pytest.fixture()
+    def hierarchy(self, spark):
+        # gold type T: ancestors A1 (depth 1), A6 (depth 6 -> no credit);
+        # descendants D1 (depth 1), D4 (depth 4 -> no credit)
+        anc = spark.createDataFrame(
+            [("T", "A1", 1), ("T", "A6", 6)], ["gt_type", "node", "depth"]
+        )
+        desc = spark.createDataFrame(
+            [("T", "D1", 1), ("T", "D4", 4)], ["gt_type", "node", "depth"]
+        )
+        return anc, desc
+
+    def _run(self, spark, hierarchy, annotation, gt_types=("T",)):
+        anc, desc = hierarchy
+        sub = spark.createDataFrame([("c1", annotation)], ["col_id", "annotation"])
+        gt = spark.createDataFrame(
+            [("c1", t) for t in gt_types], ["col_id", "gt_type"]
+        )
+        return hierarchical_prf(sub, gt, anc, desc)
+
+    def test_exact_match_scores_1(self, spark, hierarchy):
+        m = self._run(spark, hierarchy, "T")
+        assert m["precision"] == m["recall"] == m["f1"] == 1.0
+
+    def test_ancestor_depth1_scores_08(self, spark, hierarchy):
+        m = self._run(spark, hierarchy, "A1")
+        assert m["total_score"] == pytest.approx(0.8)
+
+    def test_descendant_depth1_scores_07(self, spark, hierarchy):
+        m = self._run(spark, hierarchy, "D1")
+        assert m["total_score"] == pytest.approx(0.7)
+
+    def test_deep_nodes_score_zero(self, spark, hierarchy):
+        assert self._run(spark, hierarchy, "A6")["total_score"] == 0.0
+        assert self._run(spark, hierarchy, "D4")["total_score"] == 0.0
+
+    def test_max_over_gold_types_and_case_insensitive(self, spark, hierarchy):
+        # second gold type matches exactly (case-insensitive) -> max(1.0, .8)
+        m = self._run(spark, hierarchy, "a1", gt_types=("T", "A1"))
+        assert m["total_score"] == pytest.approx(1.0)
+
+    def test_precision_recall_split(self, spark, hierarchy):
+        anc, desc = hierarchy
+        # 1 annotated col (exact), 2 gold cols -> P=1, R=0.5, F1=2/3
+        sub = spark.createDataFrame([("c1", "T")], ["col_id", "annotation"])
+        gt = spark.createDataFrame(
+            [("c1", "T"), ("c2", "T")], ["col_id", "gt_type"]
+        )
+        m = hierarchical_prf(sub, gt, anc, desc)
+        assert m["precision"] == pytest.approx(1.0)
+        assert m["recall"] == pytest.approx(0.5)
+        assert m["f1"] == pytest.approx(2 / 3)
+
+    def test_duplicate_submission_raises(self, spark, hierarchy):
+        anc, desc = hierarchy
+        sub = spark.createDataFrame(
+            [("c1", "T"), ("c1", "T")], ["col_id", "annotation"]
+        )
+        gt = spark.createDataFrame([("c1", "T")], ["col_id", "gt_type"])
+        with pytest.raises(ValueError, match="Duplicate"):
+            hierarchical_prf(sub, gt, anc, desc)
+
+
+class TestPipelineCtaCpa:
+    def test_pipeline_emits_cta_cpa(self, spark, smoke_docs):
+        from alligator_spark.plans.pipeline import run_linkage
+
+        out = run_linkage(spark, smoke_docs)
+        cta = out["cta"]
+        assert set(cta.columns) == {"component_id", "type_key", "doc_count"}
+        # every multi-doc component must have at least one winning token
+        comps = out["components"]
+        multi = (
+            comps.groupBy("component_id").count().filter("count > 1")
+        )
+        missing = multi.join(
+            cta.select("component_id").distinct(), "component_id", "left_anti"
+        ).count()
+        assert missing == 0
+        cpa = out["cpa"]
+        kinds = {r["pred_key"] for r in cpa.select("pred_key").distinct().collect()}
+        assert kinds <= {"number", "date", "string"} and kinds
