@@ -67,6 +67,12 @@ NLTK_EN_STOPWORDS = [
 # NOT split into ("do", "n't") — the stopword list covers the whole forms.
 TOKENIZE_PATTERN = r"[a-z0-9]+(?:'[a-z]+)?|[^a-z0-9\s]"
 
+# Java regex \s is ASCII-only by default while Python's is Unicode-aware;
+# (?U) (UNICODE_CHARACTER_CLASS) aligns the JVM pattern so e.g.
+# non-breaking space is dropped as whitespace on BOTH sides — the scalar
+# tokenize_text is the documented cross-engine mirror of tokenize_text_col.
+JVM_TOKENIZE_PATTERN = "(?U)" + TOKENIZE_PATTERN
+
 
 def tokenize_text(text: str) -> set:
     """Scalar mirror of tokenize_text_col (F3, alligator/utils.py:50-53):
@@ -83,7 +89,7 @@ def tokenize_text_col(c: Column) -> Column:
     """F3 tokenize_text as a pure JVM expression: distinct lowercased
     tokens (regexp_extract_all) minus the embedded stopword list."""
     toks = F.array_distinct(
-        F.regexp_extract_all(F.lower(c.cast("string")), F.lit(TOKENIZE_PATTERN), 0)
+        F.regexp_extract_all(F.lower(c.cast("string")), F.lit(JVM_TOKENIZE_PATTERN), 0)
     )
     return F.array_except(toks, F.array(*[F.lit(w) for w in NLTK_EN_STOPWORDS]))
 

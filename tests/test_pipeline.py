@@ -82,9 +82,13 @@ class TestResume:
         wd = str(tmp_path / "wd")
         full = run_pipeline(spark, smoke_docs, wd)
         comp1 = sorted(full["components"].collect())
-        # simulate a kill after stage 3: wipe the last two stage tables
-        shutil.rmtree(os.path.join(wd, "scored_edges"))
-        shutil.rmtree(os.path.join(wd, "components"))
+        # simulate a kill after stage 3: wipe the last stage tables (they
+        # live under the config-derived run_id so resumes can never mix
+        # tables from different configs)
+        rid = PipelineConfig().run_id()
+        shutil.rmtree(os.path.join(wd, rid, "scored_edges"))
+        shutil.rmtree(os.path.join(wd, rid, "accepted_edges"))
+        shutil.rmtree(os.path.join(wd, rid, "components"))
         rerun = run_pipeline(spark, smoke_docs, wd)
         comp2 = sorted(rerun["components"].collect())
         assert comp1 == comp2
@@ -122,9 +126,14 @@ class TestResume:
         fake_spark = MagicMock()
         ckpt = CheckpointManager(fake_spark, "/w d/x", "r1", backend="iceberg")
         ident = ckpt.iceberg_ident("block_keys")
-        assert ident == "ckpt_w_d_x.block_keys"
+        assert ident == "ckpt_w_d_x_r1.block_keys"
         df = MagicMock()
         ckpt._write_stage(df, "block_keys", None)
+        # namespace DDL must run before the first commit (most catalogs
+        # reject writes into a namespace that was never created)
+        fake_spark.sql.assert_called_once_with(
+            "CREATE NAMESPACE IF NOT EXISTS ckpt_w_d_x_r1"
+        )
         df.writeTo.assert_called_once_with(ident)
         df.writeTo.return_value.using.assert_called_once_with("iceberg")
         df.writeTo.return_value.using.return_value.createOrReplace.assert_called_once()

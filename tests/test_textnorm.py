@@ -77,6 +77,23 @@ class TestTokenizeText:
         ]
         assert got == [tokenize_text(v) for v in vals]
 
+    def test_unicode_whitespace_parity(self, spark):
+        # Java regex \s is ASCII-only unless (?U): a non-breaking space
+        # must be dropped as whitespace on BOTH sides, not emitted as a
+        # punctuation token by the JVM half (ADVICE r2)
+        from alligator_spark.functions.textnorm import (
+            tokenize_text,
+            tokenize_text_col,
+        )
+
+        vals = ["alpha\u00a0beta", "x\u2009y!", "end\u00a0"]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = [
+            set(r[0]) for r in df.select(tokenize_text_col(F.col("v"))).collect()
+        ]
+        assert got == [tokenize_text(v) for v in vals]
+        assert got[0] == {"alpha", "beta"}
+
 
 class TestTokenSortKey:
     def test_sorted_distinct(self, spark):
