@@ -112,3 +112,36 @@ class TestCsvExport:
         spans = json.loads(by_id["d1"]["spans"])
         assert spans[0]["text"] == "hello, world"  # comma survives quoting
         assert by_id["d2"]["n"] == "2"
+
+
+class TestCeaGolden:
+    def test_export_matches_committed_golden(self, spark, tmp_path):
+        """End-to-end golden-file replay (the reference's
+        tables/imdb_top_100_output.csv pattern): flagship pipeline on the
+        deterministic smoke corpus -> CEA CSV export must byte-match the
+        committed tests/golden/cea_smoke.csv (rows compared sorted — the
+        export is distributed, so on-disk part order is not meaningful).
+        Regenerate with scripts/make_cea_golden.py after an intentional
+        scorer/pipeline change."""
+        import importlib.util
+        import os
+
+        spec_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "make_cea_golden.py",
+        )
+        spec = importlib.util.spec_from_file_location("make_cea_golden", spec_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        out = str(tmp_path / "cea_csv")
+        from alligator_spark.operators.output import export_csv
+
+        export_csv(mod.build_cea_rounded(spark).coalesce(1), out)
+        part = sorted(glob.glob(f"{out}/part-*.csv"))[0]
+        with open(part) as f:
+            header, *rows = f.read().splitlines()
+        with open(mod.GOLDEN) as f:
+            g_header, *g_rows = f.read().splitlines()
+        assert header == g_header
+        assert sorted(rows) == g_rows
