@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,6 +30,18 @@ class PairConfig:
     # hard cap: blocks bigger than this even after statistics are dropped
     # entirely (a degenerate key like the empty mention); logged in lineage
     drop_block_size: int = 100_000
+    # reference parity: candidate_retrieval_limit=16 (alligator/
+    # config.py:157) — each mention retrieves at most this many
+    # candidates. Without it candidate volume grows with shared-vocabulary
+    # density (measured 30 pairs/doc at 600k synthetic docs), and the
+    # scoring join's shuffle grows with it; the cap makes scoring cost
+    # O(docs x limit) — linear in the corpus. A pair survives if EITHER
+    # endpoint ranks it (the reference's retrieval is per-mention too);
+    # ranking prefers the SMALLEST shared block (most specific evidence),
+    # so a gold duplicate's token-sort block always outranks junk shared
+    # single-token blocks. Exact-duplicate star edges are unioned
+    # downstream and are never capped. None disables.
+    candidate_limit: int | None = 16
 
 
 def exact_mention_pairs(normalized: DataFrame) -> DataFrame:
@@ -92,7 +104,7 @@ def candidate_pairs(
                 F.pmod(F.crc32(F.col("doc_id")), F.col("n_salts")).cast("int")
             ),
         )
-        .select("block_key", "salt", "doc_id")
+        .select("block_key", "salt", "doc_id", "block_size")
     )
 
     a = keyed.alias("a")
@@ -104,9 +116,41 @@ def candidate_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("block_key"),
+            F.col("a.block_size").alias("block_size"),
         )
     )
     # one (doc_a, doc_b) edge even when co-blocked under several keys;
-    # keep the lexicographically smallest key for lineage determinism
-    pairs = pairs.groupBy("doc_a", "doc_b").agg(F.min("block_key").alias("block_key"))
-    return pairs, sizes
+    # keep the MOST SPECIFIC key (smallest block, then lexicographic) —
+    # deterministic, and the size feeds the candidate-limit ranking
+    pairs = pairs.groupBy("doc_a", "doc_b").agg(
+        F.min(F.struct("block_size", "block_key")).alias("_sel")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("_sel.block_key").alias("block_key"),
+        F.col("_sel.block_size").alias("block_size"),
+    )
+    if cfg.candidate_limit:
+        # per-endpoint top-K by block specificity (narrow rows — this
+        # window is what keeps the WIDE scoring shuffle linear in docs)
+        sides = pairs.select(
+            F.col("doc_a").alias("ep"), F.col("doc_b").alias("other"),
+            "block_size",
+        ).unionAll(
+            pairs.select(
+                F.col("doc_b").alias("ep"), F.col("doc_a").alias("other"),
+                "block_size",
+            )
+        )
+        w = Window.partitionBy("ep").orderBy("block_size", "other")
+        keep = (
+            sides.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cfg.candidate_limit)
+            .select(
+                F.least("ep", "other").alias("doc_a"),
+                F.greatest("ep", "other").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs = pairs.join(keep, ["doc_a", "doc_b"], "left_semi")
+    return pairs.drop("block_size"), sizes
