@@ -214,8 +214,11 @@ def generate_docs(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    # 4x-parallelism partitioning: generation is CPU-bound Python, so a
+    # partition-per-core leaves the stage tail-bound on the slowest task;
+    # fine-grained splits let the scheduler balance (same total work)
     return (
-        spark.range(0, n, 1, numPartitions=max(parallelism, 8))
+        spark.range(0, n, 1, numPartitions=max(parallelism * 4, 32))
         .mapInPandas(gen, schema=DOCS_SCHEMA)
     )
 

@@ -106,6 +106,17 @@ def candidate_pairs(
         )
         .select("block_key", "salt", "doc_id", "block_size")
     )
+    # The self-join AMPLIFIES: a task reading s co-blocked rows emits
+    # ~s^2/2 pairs, so task cost tracks sum(s^2) while AQE balances INPUT
+    # bytes (and the compressed key shuffle is tiny — measured: the whole
+    # 600k-doc pair build ran on ~2 effective cores). Explicit hash
+    # repartitioning on the join key with 4x-parallelism slack spreads
+    # the quadratic work; the join reuses this partitioning for both
+    # sides (no extra exchange).
+    sc = keys.sparkSession.sparkContext
+    keyed = keyed.repartition(
+        max(sc.defaultParallelism * 4, 16), "block_key", "salt"
+    )
 
     a = keyed.alias("a")
     b = keyed.alias("b")
