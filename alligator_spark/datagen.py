@@ -216,9 +216,13 @@ def generate_docs(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
 
     # 4x-parallelism partitioning: generation is CPU-bound Python, so a
     # partition-per-core leaves the stage tail-bound on the slowest task;
-    # fine-grained splits let the scheduler balance (same total work)
+    # fine-grained splits let the scheduler balance (same total work).
+    # Bounded by corpus size (~>=1000 docs/partition) so a small corpus
+    # on a wide driver does not cascade hundreds of tiny Arrow tasks
+    # through every downstream stage.
+    n_parts = max(min(parallelism * 4, max(n // 1000, 1)), 8)
     return (
-        spark.range(0, n, 1, numPartitions=max(parallelism * 4, 32))
+        spark.range(0, n, 1, numPartitions=n_parts)
         .mapInPandas(gen, schema=DOCS_SCHEMA)
     )
 
