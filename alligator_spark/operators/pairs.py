@@ -93,10 +93,12 @@ def candidate_pairs(
     )
 
     keyed = (
-        # shuffle join on block_key (co-partitioned with the self-join
-        # below; AQE upgrades to broadcast when stats are small) — sizes has
-        # one row per key, too big to force-broadcast at corpus scale
-        keys.join(sizes, "block_key")
+        # shuffle-hash, never broadcast: sizes has one row per DISTINCT
+        # block key — corpus-scaled. The plan audit showed the static
+        # planner broadcasting it at 600k docs: size estimates below a
+        # mapInPandas source are fiction, so the 8MB ceiling cannot be
+        # trusted here and the strategy is pinned explicitly.
+        keys.join(sizes.hint("shuffle_hash"), "block_key")
         .filter((F.col("block_size") > 1) & (F.col("n_salts") > 0))
         .withColumn(
             "salt",
@@ -119,7 +121,9 @@ def candidate_pairs(
     )
 
     a = keyed.alias("a")
-    b = keyed.alias("b")
+    # shuffle-hash for the self-join too (same fictional-estimate issue);
+    # both sides reuse the explicit repartition above — no extra exchange
+    b = keyed.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, on=["block_key", "salt"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
