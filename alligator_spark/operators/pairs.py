@@ -30,6 +30,15 @@ class PairConfig:
     # hard cap: blocks bigger than this even after statistics are dropped
     # entirely (a degenerate key like the empty mention); logged in lineage
     drop_block_size: int = 100_000
+    # partition sizing for the amplifying self-join: target EMITTED pairs
+    # per task (the join's cost unit — input bytes are fiction here).
+    # Partitions = clamp(est_pairs / this, parallelism, 4*parallelism):
+    # small corpora get one wave of core-count tasks instead of a flat
+    # 4x-slack fan-out (r3 shipped defaultParallelism*4 always — measured
+    # ~3s of pure task overhead at 5k docs), big corpora keep the full
+    # 4x skew slack. est_pairs comes from the block-stats aggregate the
+    # lineage already needs, so sizing costs no extra corpus scan.
+    target_pairs_per_task: int = 50_000
     # reference parity: candidate_retrieval_limit=16 (alligator/
     # config.py:157) — each mention retrieves at most this many
     # candidates. Without it candidate volume grows with shared-vocabulary
@@ -91,6 +100,21 @@ def candidate_pairs(
         )
         .otherwise(F.lit(1)),
     )
+    # materialize the (small: one row per distinct key) stats once — the
+    # join below reuses it instead of re-aggregating keys, and the pair
+    # estimate for partition sizing reads it for free
+    sizes = sizes.localCheckpoint(eager=True)
+    # expected pre-cap pair volume: each kept block of size s split into
+    # n salts emits ~n * C(s/n, 2) ~ s^2/(2n) pairs
+    est_row = sizes.filter(
+        (F.col("n_salts") > 0) & (F.col("block_size") > 1)
+    ).agg(
+        F.sum(
+            F.col("block_size") * F.col("block_size")
+            / (F.lit(2.0) * F.col("n_salts"))
+        ).alias("est_pairs")
+    ).collect()[0]
+    est_pairs = float(est_row["est_pairs"] or 0.0)
 
     keyed = (
         # shuffle-hash, never broadcast: sizes has one row per DISTINCT
@@ -112,13 +136,16 @@ def candidate_pairs(
     # ~s^2/2 pairs, so task cost tracks sum(s^2) while AQE balances INPUT
     # bytes (and the compressed key shuffle is tiny — measured: the whole
     # 600k-doc pair build ran on ~2 effective cores). Explicit hash
-    # repartitioning on the join key with 4x-parallelism slack spreads
-    # the quadratic work; the join reuses this partitioning for both
-    # sides (no extra exchange).
+    # repartitioning on the join key spreads the quadratic work; the join
+    # reuses this partitioning for both sides (no extra exchange). The
+    # partition count is sized by the ESTIMATED pair volume (see
+    # PairConfig.target_pairs_per_task), floored at one wave of cores and
+    # capped at 4x-parallelism skew slack.
     sc = keys.sparkSession.sparkContext
-    keyed = keyed.repartition(
-        max(sc.defaultParallelism * 4, 16), "block_key", "salt"
-    )
+    dp = max(sc.defaultParallelism, 4)
+    est_parts = int(est_pairs // cfg.target_pairs_per_task) + 1
+    n_parts = max(dp, min(est_parts, dp * 4))
+    keyed = keyed.repartition(n_parts, "block_key", "salt")
 
     a = keyed.alias("a")
     # shuffle-hash for the self-join too (same fictional-estimate issue);

@@ -100,11 +100,6 @@ def run_linkage(
     sigs = minhash_signatures(normalized, cfg.blocking).persist()
     keys = block_keys(normalized, cfg.blocking, sigs=sigs)
     pairs, _ = candidate_pairs(keys, cfg.pairs)
-    # exact-duplicate star edges: recall guarantee block caps can't break
-    ex = exact_mention_pairs(normalized)
-    pairs = pairs.unionByName(
-        ex.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-    )
     # Stage boundaries use localCheckpoint (materialize + TRUNCATE the
     # logical plan), not bare persist: the rerank/accept stages reference
     # their input subtree many times, and with lazy persists the logical
@@ -113,8 +108,18 @@ def run_linkage(
     # (measured: 75 s accept / 131 s CC at sf0.1 with persists vs ~3 s
     # truncated). run_pipeline gets the same truncation from its parquet
     # stage tables.
+    #
+    # Materialize BEFORE the exact-star union: the left_anti probe and
+    # the union both read the candidate_pairs subtree, and un-materialized
+    # that runs the whole self-join twice (measured ~4s of the sf0.1 pair
+    # stage; scale-neutral waste at 600k docs too).
+    pairs = timed("pairs_ckpt", pairs)
+    # exact-duplicate star edges: recall guarantee block caps can't break
+    ex = exact_mention_pairs(normalized)
+    pairs = pairs.unionByName(
+        ex.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    )
     if cfg.blocking.fuzzy_enabled:
-        pairs = timed("pairs_ckpt", pairs)
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
@@ -183,13 +188,15 @@ def run_pipeline(
 
     def build_pairs():
         base, _ = candidate_pairs(keys, cfg.pairs)
+        # materialize once: the exact-star left_anti probe and the union
+        # (and the fuzzy rescue probe) all re-read this subtree
+        base = base.localCheckpoint(eager=True)
         ex = exact_mention_pairs(normalized)
         base = base.unionByName(
             ex.join(base.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
         )
         if not cfg.blocking.fuzzy_enabled:
             return base
-        base = base.persist()  # read twice: rescue probe + union
         return base.unionByName(
             fuzzy_rescue_pairs(normalized, base, cfg.blocking, sigs=sigs)
         )

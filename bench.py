@@ -42,8 +42,16 @@ def main() -> int:
     from alligator_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    # warm the JVM + python workers once (tiny job)
+    # warm the JVM once (tiny job)
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # warm the reusable python-worker pool (one no-op Arrow task per core)
+    # so the first pandas-UDF query does not pay 32 interpreter spinups
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 3200, 1, 32).mapInPandas(_noop, schema="id long").count()
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
