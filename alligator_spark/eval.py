@@ -149,11 +149,18 @@ def hierarchical_prf(
         ["gt_type", "annotation"],
         "left",
     )
+    # reference parity (cta_wd.py:74-86 elif chain): an ancestor beyond
+    # max_ancestor_depth scores 0 even if the same node is ALSO a
+    # descendant within depth — the descendant branch is only reached
+    # when the node is not an ancestor at all (anc_depth null)
     credit = F.coalesce(
         exact,
         F.when(
-            F.col("anc_depth") <= max_ancestor_depth,
-            F.pow(F.lit(0.8), F.col("anc_depth")),
+            F.col("anc_depth").isNotNull(),
+            F.when(
+                F.col("anc_depth") <= max_ancestor_depth,
+                F.pow(F.lit(0.8), F.col("anc_depth")),
+            ).otherwise(F.lit(0.0)),
         ),
         F.when(
             F.col("desc_depth") <= max_descendant_depth,
@@ -171,3 +178,136 @@ def hierarchical_prf(
     r = total / n_cols if n_cols else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {"precision": p, "recall": r, "f1": f1, "total_score": total}
+
+
+_WD_PREFIX = "http://www.wikidata.org/entity/"
+
+
+def cea_prf(
+    submission: DataFrame, gt: DataFrame, iri_prefix: str | None = _WD_PREFIX
+) -> dict[str, float]:
+    """SemTab CEA set-based scoring (eval/evaluators/cea_wd.py:26-62).
+
+    Both frames carry (tab_id, row_id, col_id, entity). Reference rules,
+    replicated exactly: cells absent from the gt are ignored; duplicate
+    submission cells (within the gt universe) raise; an annotation not
+    starting with ``iri_prefix`` gets it prepended; it is correct when it
+    appears (case-insensitively) in the gt entity's space-split list.
+    P = correct/annotated, R = correct/|gt|.
+    """
+    key = ["tab_id", "row_id", "col_id"]
+    g = gt.select(*key, F.col("entity").alias("gt_entity"))
+    s = submission.select(*key, "entity")
+    annotated = s.join(g, key)
+    dup = annotated.groupBy(*key).agg(F.count("*").alias("n")).filter("n > 1")
+    if dup.limit(1).count():
+        raise ValueError("Duplicate cells in the submission file")
+    ann = F.lower("entity")
+    if iri_prefix:
+        ann = F.lower(
+            F.when(
+                F.col("entity").startswith(iri_prefix), F.col("entity")
+            ).otherwise(F.concat(F.lit(iri_prefix), F.col("entity")))
+        )
+    correct_expr = F.array_contains(
+        F.split(F.lower("gt_entity"), " "), ann
+    )
+    row = annotated.agg(
+        F.count("*").alias("annotated"),
+        F.sum(correct_expr.cast("long")).alias("correct"),
+    ).collect()[0]
+    n_gt = gt.select(*key).distinct().count()
+    annotated_n = int(row["annotated"] or 0)
+    correct = int(row["correct"] or 0)
+    p = correct / annotated_n if annotated_n else 0.0
+    r = correct / n_gt if n_gt else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+        "correct": correct,
+        "annotated": annotated_n,
+        "gt_cells": n_gt,
+    }
+
+
+def _read_headerless(spark, path: str, cols: list[str]) -> DataFrame:
+    df = spark.read.csv(path, header=False, inferSchema=False)
+    return df.toDF(*cols[: len(df.columns)])
+
+
+def main(argv: list[str] | None = None) -> int:
+    """SemTab-style eval entry point (reference: eval/cea_evaluate.py:54-63,
+    eval/inference.py:100-107): score a prediction CSV against a ground
+    truth CSV and print one JSON line with P/R/F1 + rows/s.
+
+    CEA CSVs are headerless (tab_id, row_id, col_id, entity); CTA pred is
+    (tab_id, col_id, annotation), CTA gt is (tab_id, col_id, types) with
+    space-separated gold types, plus optional --ancestors/--descendants
+    CSVs (gt_type, node, depth).
+    """
+    import argparse
+    import json
+    import time
+
+    ap = argparse.ArgumentParser(prog="alligator_spark.eval")
+    ap.add_argument("--task", choices=["cea", "cta"], default="cea")
+    ap.add_argument("--pred", required=True)
+    ap.add_argument("--gt", required=True)
+    ap.add_argument("--ancestors")
+    ap.add_argument("--descendants")
+    ap.add_argument("--no-iri-prefix", action="store_true")
+    args = ap.parse_args(argv)
+
+    from alligator_spark.session import get_spark
+
+    spark = get_spark(app_name="alligator_eval")
+    t0 = time.monotonic()
+    if args.task == "cea":
+        sub = _read_headerless(
+            spark, args.pred, ["tab_id", "row_id", "col_id", "entity"]
+        )
+        gt = _read_headerless(
+            spark, args.gt, ["tab_id", "row_id", "col_id", "entity"]
+        )
+        res = cea_prf(
+            sub, gt, iri_prefix=None if args.no_iri_prefix else _WD_PREFIX
+        )
+        n_rows = res["annotated"]
+    else:
+        sub = _read_headerless(spark, args.pred, ["tab_id", "col_id", "annotation"])
+        gt = _read_headerless(spark, args.gt, ["tab_id", "col_id", "types"])
+        key = F.concat_ws(" ", "tab_id", "col_id")
+        sub2 = sub.select(key.alias("col_id"), "annotation")
+        gt2 = gt.select(
+            key.alias("col_id"),
+            F.explode(F.split("types", " ")).alias("gt_type"),
+        )
+        anc = desc = None
+        cols = ["gt_type", "node", "depth"]
+        if args.ancestors:
+            anc = _read_headerless(spark, args.ancestors, cols).withColumn(
+                "depth", F.col("depth").cast("int")
+            )
+        if args.descendants:
+            desc = _read_headerless(spark, args.descendants, cols).withColumn(
+                "depth", F.col("depth").cast("int")
+            )
+        res = hierarchical_prf(sub2, gt2, ancestors=anc, descendants=desc)
+        n_rows = sub2.count()
+    elapsed = time.monotonic() - t0
+    res_out = {
+        "task": args.task,
+        **{k: round(v, 6) if isinstance(v, float) else v for k, v in res.items()},
+        "elapsed_sec": round(elapsed, 3),
+        "rows_per_sec": round(n_rows / elapsed, 1) if elapsed else None,
+    }
+    print(json.dumps(res_out))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

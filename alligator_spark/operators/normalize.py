@@ -29,15 +29,17 @@ def _texts_of_kind(kind: str) -> Column:
     )
 
 
-def normalize_docs(docs: DataFrame) -> DataFrame:
+def normalize_docs(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """docs(doc_id, spans) -> (doc_id, norm_mention, lit_* arrays, row_text).
 
     Skips docs with no usable mention (reference skips empty/NaN cells,
-    ``alligator/processors.py:117-118``).
+    ``alligator/processors.py:117-118``). ``carry`` columns (e.g. an
+    event-time column on a stream) pass through unchanged.
     """
     mention_raw = F.element_at(_texts_of_kind("mention"), 1)
     out = docs.select(
         "doc_id",
+        *carry,
         mention_raw.alias("mention_raw"),
         _texts_of_kind("literal_number").alias("lit_numbers"),
         _texts_of_kind("literal_date").alias("lit_dates"),

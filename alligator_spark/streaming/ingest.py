@@ -17,15 +17,22 @@ Streaming-specific semantics (documented deviations from the batch path):
   ranks each doc's full candidate list with window functions, which
   Structured Streaming cannot evaluate incrementally; a row-local strong
   threshold needs no global state. Borderline candidates are emitted
-  with ``accepted = false`` so a periodic batch reconciliation can apply
-  the full M4 decision.
+  with ``accepted = false`` and ``reconcile_edges`` (below) is the
+  periodic batch job that re-applies the full M4 decision over the
+  accumulated edge sink.
 * The pairwise battery here is the JVM half only (token/3-gram overlap
   hash arrays precomputed on the static side, computed per micro-batch
   on the stream side) — no Python workers in the micro-batch hot path.
+* Hot/degenerate corpus block keys are pre-pruned when building
+  ``corpus_index`` (the static analogue of the batch drop_block_size
+  cap): without it one ubiquitous token fans every arriving doc out to
+  the full block in the stream-static join.
 
-Exact duplicates on the stream are handled by ``stream_exact_dedup``:
-watermark + dropDuplicates on the text hash (Spark's canonical
-streaming-dedup pattern; state expires with the event-time watermark).
+Exact duplicates on the stream are handled by ``stream_exact_dedup``
+via ``dropDuplicatesWithinWatermark``: the dedup state store is evicted
+once its event time falls behind the watermark, so state is bounded; a
+duplicate arriving later than the watermark delay after the original
+may be re-emitted (the documented streaming-dedup trade).
 """
 
 from __future__ import annotations
@@ -46,31 +53,44 @@ def stream_block_keys(stream_docs: DataFrame) -> DataFrame:
     with no state store. MinHash banding is deliberately absent on the
     stream side: its value is fuzzy recall over the FULL corpus, which
     the periodic batch pass owns."""
-    normalized = normalize_docs(stream_docs)
-    base = normalized.select("doc_id", "norm_mention")
+    extra = ("event_ts",) if "event_ts" in stream_docs.columns else ()
+    normalized = normalize_docs(stream_docs, carry=extra)
+    base = normalized.select("doc_id", "norm_mention", *extra)
+    carry = list(base.columns)
     full = base.select(
-        "doc_id",
-        "norm_mention",
+        *carry,
         F.concat(F.lit("ts:"), token_sort_key_col(F.col("norm_mention"))).alias(
             "block_key"
         ),
     )
-    tok = base.select(
-        "doc_id",
-        "norm_mention",
-        F.explode(F.array_distinct(F.split("norm_mention", " "))).alias("tok"),
-    ).select(
-        "doc_id",
-        "norm_mention",
-        F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"),
+    tok = (
+        base.select(
+            *carry,
+            F.explode(F.array_distinct(F.split("norm_mention", " "))).alias("tok"),
+        )
+        # an empty norm_mention explodes to one empty token — a degenerate
+        # key every empty arrival would share; drop it
+        .filter(F.length("tok") > 0)
+        .select(
+            *carry,
+            F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"),
+        )
     )
     return full.unionByName(tok)
 
 
-def corpus_index(static_docs: DataFrame) -> DataFrame:
+def corpus_index(static_docs: DataFrame, max_block: int = 1024) -> DataFrame:
     """Static side of the stream-static join: (block_key, cand_id,
     cand_mention). Built once (persist/write it); micro-batches join
-    against it by key without rescanning the corpus."""
+    against it by key without rescanning the corpus.
+
+    Keys shared by more than ``max_block`` corpus docs are DROPPED from
+    the index (the static analogue of the batch path's drop_block_size
+    cap, ``operators/pairs.py``): a hot token like a stopword would
+    otherwise fan every arriving doc out to its full block in the
+    stream-static join — per-arrival cost must stay bounded. Recall for
+    docs only reachable through a dropped hot key falls to the periodic
+    batch pass, which handles hot blocks with salting."""
     normalized = normalize_docs(static_docs)
     base = normalized.select(
         F.col("doc_id").alias("cand_id"),
@@ -87,12 +107,20 @@ def corpus_index(static_docs: DataFrame) -> DataFrame:
         "cand_id",
         "cand_mention",
         F.explode(F.array_distinct(F.split("cand_mention", " "))).alias("tok"),
-    ).select(
+    ).filter(F.length("tok") > 0).select(
         "cand_id",
         "cand_mention",
         F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"),
     )
-    return full.unionByName(tok)
+    idx = full.unionByName(tok)
+    if max_block is not None:
+        sizes = idx.groupBy("block_key").agg(F.count("*").alias("_bs"))
+        idx = (
+            idx.join(sizes.hint("shuffle_hash"), "block_key")
+            .filter(F.col("_bs") <= max_block)
+            .drop("_bs")
+        )
+    return idx
 
 
 def _overlap(a, b):
@@ -117,15 +145,27 @@ def streaming_link(
     stream_docs: DataFrame,
     corpus_idx: DataFrame,
     strong: float = MATCH_STRONG_SCORE,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Arriving docs -> (doc_id, cand_id, score, accepted) edge stream.
+    """Arriving docs -> (doc_id, cand_id, score[, event_ts], accepted)
+    edge stream.
 
     Stream-static equi-join on block_key, then a JVM-only pairwise score
     (token jaccard + 3-gram jaccard of the mentions, equal weight through
     the batch scorer's logistic). ``accepted`` = strong-only (see module
-    docstring); every candidate row is emitted either way so downstream
-    batch reconciliation sees the full evidence."""
+    docstring); every candidate row is emitted either way so
+    ``reconcile_edges`` sees the full evidence.
+
+    Duplicate (doc_id, cand_id) rows arise when a doc shares several
+    block keys with the same candidate (identical score on every copy).
+    When the stream carries an ``event_ts`` column they are dropped with
+    watermark-bounded state (``dropDuplicatesWithinWatermark`` — state
+    evicted once older than the watermark, never unbounded). Without an
+    event-time column NO stateful dedup is attempted — equal-score
+    duplicates may pass through and are collapsed by ``reconcile_edges``
+    (unbounded dedup state in a continuous stream is the worse trade)."""
     keyed = stream_block_keys(stream_docs)
+    has_ts = "event_ts" in keyed.columns
     cand = keyed.join(corpus_idx, "block_key").filter(
         F.col("doc_id") != F.col("cand_id")
     )
@@ -136,11 +176,12 @@ def streaming_link(
     # same logistic shape as the batch M2 scorer, over the JVM features
     lin = 0.5 * tok_j + 0.5 * g3_j
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(12.0) * (lin - F.lit(0.55))))
-    edges = cand.select(
-        "doc_id",
-        "cand_id",
-        F.round(score, 6).alias("score"),
-    ).dropDuplicates(["doc_id", "cand_id"])
+    cols = ["doc_id", "cand_id"] + (["event_ts"] if has_ts else [])
+    edges = cand.select(*cols, F.round(score, 6).alias("score"))
+    if has_ts:
+        edges = edges.withWatermark(
+            "event_ts", watermark
+        ).dropDuplicatesWithinWatermark(["doc_id", "cand_id"])
     return edges.withColumn("accepted", F.col("score") >= strong)
 
 
@@ -150,15 +191,48 @@ def stream_exact_dedup(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming exact dedup: first arrival of each distinct cleaned text
-    wins; duplicate arrivals are dropped by state-store lookup. The
-    watermark bounds state (a duplicate older than the watermark may
-    reappear — the documented streaming-dedup contract)."""
+    wins; duplicate arrivals are dropped by state-store lookup.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the state store actually
+    expires: a plain ``dropDuplicates(["text_hash"])`` under a watermark
+    never evicts keys that lack the event-time column in the dedup
+    subset — state grows without bound in a continuous stream. The
+    contract is therefore time-bounded: duplicates arriving within the
+    watermark delay of the first copy are dropped; a duplicate arriving
+    later than that MAY be re-emitted (its state has been evicted)."""
     mention = F.expr(
         "filter(spans, s -> s.kind = 'mention')[0].text"
     )
     keyed = stream_docs.withColumn(
         "text_hash", F.md5(clean_str_col(mention))
     )
-    return keyed.withWatermark(ts_col, watermark).dropDuplicates(
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def reconcile_edges(edge_sink: DataFrame, cfg=None) -> DataFrame:
+    """Periodic batch reconciliation of the streamed edge sink: apply the
+    FULL M4 match decision (strong OR borderline top-1 with gap+ratio,
+    ``operators/scoring.py:accept_edges``) that the stream's strong-only
+    rule could not evaluate incrementally.
+
+    ``edge_sink`` is the accumulated output of ``streaming_link``
+    (doc_id, cand_id, score, accepted, ...). Rows are canonicalized to
+    unordered (doc_a, doc_b) edges, equal-score duplicates collapsed
+    (max score per pair — copies only differ if the corpus index changed
+    between micro-batches), then re-decided. Returns
+    (doc_a, doc_b, score, accepted) with ``accepted`` recomputed; feed
+    ``accepted`` edges to ``connected_components`` to merge clusters."""
+    from alligator_spark.operators.scoring import accept_edges
+
+    edges = (
+        edge_sink.select(
+            F.least("doc_id", "cand_id").alias("doc_a"),
+            F.greatest("doc_id", "cand_id").alias("doc_b"),
+            "score",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("score").alias("score"))
+    )
+    return accept_edges(edges, cfg)

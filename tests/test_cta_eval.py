@@ -119,6 +119,79 @@ class TestHierarchicalPrf:
         with pytest.raises(ValueError, match="Duplicate"):
             hierarchical_prf(sub, gt, anc, desc)
 
+    def test_deep_ancestor_also_descendant_scores_zero(self, spark):
+        # reference elif ordering (cta_wd.py:74-86): a node that IS an
+        # ancestor (depth 6 -> 0) never falls through to descendant
+        # credit, even if it is also a descendant within depth
+        anc = spark.createDataFrame([("T", "B", 6)], ["gt_type", "node", "depth"])
+        desc = spark.createDataFrame([("T", "B", 2)], ["gt_type", "node", "depth"])
+        sub = spark.createDataFrame([("c1", "B")], ["col_id", "annotation"])
+        gt = spark.createDataFrame([("c1", "T")], ["col_id", "gt_type"])
+        m = hierarchical_prf(sub, gt, anc, desc)
+        assert m["total_score"] == 0.0
+
+
+class TestCeaPrf:
+    def test_set_based_scoring(self, spark):
+        """Pinned arithmetic vs eval/evaluators/cea_wd.py:26-62: 3 gt
+        cells, 2 annotated (1 correct via case-insensitive list match,
+        1 wrong), 1 submission cell outside the gt universe ignored."""
+        from alligator_spark.eval import cea_prf
+
+        gt = spark.createDataFrame(
+            [
+                ("t1", "1", "0", "http://www.wikidata.org/entity/Q1 http://www.wikidata.org/entity/Q2"),
+                ("t1", "2", "0", "http://www.wikidata.org/entity/Q3"),
+                ("t1", "3", "0", "http://www.wikidata.org/entity/Q4"),
+            ],
+            ["tab_id", "row_id", "col_id", "entity"],
+        )
+        sub = spark.createDataFrame(
+            [
+                ("t1", "1", "0", "q2"),       # bare qid, wrong case -> correct
+                ("t1", "2", "0", "Q999"),     # wrong
+                ("t9", "1", "0", "Q1"),       # not in gt -> ignored
+            ],
+            ["tab_id", "row_id", "col_id", "entity"],
+        )
+        m = cea_prf(sub, gt)
+        assert m["correct"] == 1 and m["annotated"] == 2 and m["gt_cells"] == 3
+        assert m["precision"] == pytest.approx(0.5)
+        assert m["recall"] == pytest.approx(1 / 3)
+        assert m["f1"] == pytest.approx(2 * 0.5 * (1 / 3) / (0.5 + 1 / 3))
+
+    def test_duplicate_cells_raise(self, spark):
+        from alligator_spark.eval import cea_prf
+
+        gt = spark.createDataFrame(
+            [("t1", "1", "0", "Q1")], ["tab_id", "row_id", "col_id", "entity"]
+        )
+        sub = spark.createDataFrame(
+            [("t1", "1", "0", "Q1"), ("t1", "1", "0", "Q2")],
+            ["tab_id", "row_id", "col_id", "entity"],
+        )
+        with pytest.raises(ValueError, match="Duplicate"):
+            cea_prf(sub, gt)
+
+    def test_cli_main_cea(self, spark, tmp_path, capsys):
+        """The __main__ surface: toy CSVs -> one JSON line with P/R/F1."""
+        import json
+
+        from alligator_spark.eval import main
+
+        gt = tmp_path / "gt.csv"
+        gt.write_text(
+            "t1,1,0,http://www.wikidata.org/entity/Q1\n"
+            "t1,2,0,http://www.wikidata.org/entity/Q3\n"
+        )
+        pred = tmp_path / "pred.csv"
+        pred.write_text("t1,1,0,Q1\nt1,2,0,Q9\n")
+        assert main(["--task", "cea", "--pred", str(pred), "--gt", str(gt)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["correct"] == 1 and out["annotated"] == 2
+        assert out["precision"] == pytest.approx(0.5)
+        assert out["rows_per_sec"] is not None
+
 
 class TestPipelineCtaCpa:
     def test_pipeline_emits_cta_cpa(self, spark, smoke_docs):

@@ -116,6 +116,123 @@ class TestStreamingLink:
         assert ("s9", "c2") in acc
 
 
+class TestReconciliation:
+    def test_borderline_rejected_on_stream_accepted_after_reconcile(
+        self, spark, static_corpus, tmp_path
+    ):
+        """The module-docstring promise: strong-only rejects a borderline
+        candidate on the stream; the batch reconciliation job applies the
+        full M4 window rule (rank-1 + gap/ratio) and accepts it."""
+        from alligator_spark.streaming.ingest import (
+            corpus_index,
+            reconcile_edges,
+            streaming_link,
+        )
+
+        idx = corpus_index(static_corpus).localCheckpoint(eager=True)
+        # "korolen vortis zzz" vs c1 "korolen vortis marbel": tok_j=2/3,
+        # g3-jaccard puts the JVM score at ~0.818 — borderline band
+        # [0.75, 0.92): rejected strong-only, accepted by the M4 rule
+        # (rank-1, no runner-up)
+        src = str(tmp_path / "borderline")
+        spark.createDataFrame(
+            [_doc("s1", "korolen vortis zzz")], SPANS_DDL
+        ).write.parquet(src)
+        edges = streaming_link(spark.readStream.schema(SPANS_DDL).parquet(src), idx)
+        q = (
+            edges.writeStream.format("memory")
+            .queryName("rec_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sink = spark.table("rec_sink")
+        row = sink.filter("cand_id = 'c1'").collect()[0]
+        assert 0.75 <= row["score"] < 0.92 and not row["accepted"]
+
+        rec = {
+            (r["doc_a"], r["doc_b"]): r["accepted"]
+            for r in reconcile_edges(sink).collect()
+        }
+        assert rec[("c1", "s1")] is True
+
+    def test_reconcile_collapses_duplicate_edges(self, spark):
+        from alligator_spark.streaming.ingest import reconcile_edges
+
+        sink = spark.createDataFrame(
+            [
+                ("s1", "c1", 0.80, False),
+                ("c1", "s1", 0.80, False),  # reversed duplicate
+                ("s1", "c2", 0.60, False),
+            ],
+            ["doc_id", "cand_id", "score", "accepted"],
+        )
+        out = reconcile_edges(sink)
+        assert out.count() == 2
+        acc = {(r["doc_a"], r["doc_b"]): r["accepted"] for r in out.collect()}
+        # 0.80 vs runner-up 0.60: gap 0.2 >= 0.15, ratio 1.33 >= 1.2 -> top-1 in
+        assert acc[("c1", "s1")] is True and acc[("c2", "s1")] is False
+
+
+class TestStreamingCaps:
+    def test_hot_corpus_key_is_pruned(self, spark, tmp_path):
+        from alligator_spark.streaming.ingest import corpus_index, streaming_link
+
+        corpus = [
+            _doc(f"h{i}", f"hotword uniq{i}a uniq{i}b") for i in range(5)
+        ]
+        idx = corpus_index(
+            spark.createDataFrame(corpus, SPANS_DDL), max_block=4
+        ).localCheckpoint(eager=True)
+        assert idx.filter("block_key = 'tk:hotword'").count() == 0
+        # an arrival reachable ONLY through the hot token gets no fan-out
+        src = str(tmp_path / "hot")
+        spark.createDataFrame(
+            [_doc("s1", "hotword somethingelse")], SPANS_DDL
+        ).write.parquet(src)
+        edges = streaming_link(spark.readStream.schema(SPANS_DDL).parquet(src), idx)
+        q = (
+            edges.writeStream.format("memory")
+            .queryName("hot_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table("hot_sink").count() == 0
+
+    def test_event_ts_stream_dedups_within_watermark(self, spark, tmp_path):
+        from datetime import datetime
+
+        from alligator_spark.streaming.ingest import corpus_index, streaming_link
+
+        corpus = [_doc("c1", "korolen vortis marbel")]
+        idx = corpus_index(spark.createDataFrame(corpus, SPANS_DDL)).localCheckpoint(
+            eager=True
+        )
+        ddl = SPANS_DDL + ", event_ts timestamp"
+        src = str(tmp_path / "ts_arrivals")
+        # shares 4 keys with c1 (ts: + three tk:) -> 4 raw join rows
+        spark.createDataFrame(
+            [{**_doc("s1", "korolen vortis marbel"),
+              "event_ts": datetime(2026, 1, 1)}],
+            ddl,
+        ).write.parquet(src)
+        edges = streaming_link(spark.readStream.schema(ddl).parquet(src), idx)
+        q = (
+            edges.writeStream.format("memory")
+            .queryName("ts_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("ts_sink").collect()
+        assert len(rows) == 1  # watermark-bounded state dedup, no unbounded store
+        assert rows[0]["accepted"]
+
+
 class TestStreamingDedup:
     def test_watermarked_exact_dedup(self, spark, tmp_path):
         from alligator_spark.streaming.ingest import stream_exact_dedup
