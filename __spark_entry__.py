@@ -847,6 +847,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+def q_infer_column_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column classification for untyped input (reference
+    ``alligator/manager/data.py:78-141``): an untyped 5-column string
+    table derived from documents (a numeric id, long free text, a short
+    label, a synthesized ISO date, an all-empty column) classified from
+    a deterministic 32-row sample into NUMBER / STRING / NE / DATETIME /
+    IGNORED. Integer evidence counts ship with the verdict, so the
+    DuckDB oracle replays the exact rules."""
+    from alligator_spark.operators.classify import classify_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    untyped = docs.select(
+        F.col("doc_id").cast("string").alias("u_id"),
+        F.col("text").alias("u_text"),
+        F.col("lang").alias("u_lang"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 300).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("u_date"),
+        F.lit("").alias("u_empty"),
+    )
+    return classify_columns(untyped, order_by="u_id")
+
+
 # ------------------------------------------------------------- the contract
 
 
@@ -898,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "fingerprints": q_fingerprints,
         "media_decode": q_media_decode,
+        "infer_column_kinds": q_infer_column_kinds,
     }
 
 
@@ -1097,6 +1122,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_counts": _QUALITY_SQL,
         "quality_score": _QUALITY_SCORE_SQL,
+        "infer_column_kinds": """
+            WITH sample AS (
+              SELECT CAST(doc_id AS VARCHAR) AS u_id,
+                     text AS u_text,
+                     lang AS u_lang,
+                     strftime(DATE '2024-01-01' + CAST(doc_id % 300 AS INTEGER),
+                              '%Y-%m-%d') AS u_date,
+                     '' AS u_empty
+              FROM documents ORDER BY u_id LIMIT 32
+            ), cells AS (
+              UNPIVOT sample ON u_id, u_text, u_lang, u_date, u_empty
+              INTO NAME col_name VALUE cell
+            ), agg AS (
+              SELECT col_name,
+                SUM(CASE WHEN cell IS NOT NULL AND length(trim(cell)) > 0
+                         THEN 1 ELSE 0 END) AS non_empty,
+                SUM(CASE WHEN cell IS NOT NULL AND length(trim(cell)) > 0
+                          AND regexp_matches(trim(cell), '^-?[0-9]+([.][0-9]+)?$')
+                         THEN 1 ELSE 0 END) AS num_cnt,
+                SUM(CASE WHEN cell IS NOT NULL AND length(trim(cell)) > 0
+                          AND (regexp_matches(trim(cell), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                            OR regexp_matches(trim(cell), '^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$')
+                            OR regexp_matches(trim(cell), '^[0-9]{4}/[0-9]{1,2}/[0-9]{1,2}$'))
+                         THEN 1 ELSE 0 END) AS date_cnt,
+                SUM(CASE WHEN cell IS NOT NULL AND length(trim(cell)) > 0
+                         THEN len(string_split_regex(trim(cell), ' +'))
+                         ELSE 0 END) AS tok_sum
+              FROM cells GROUP BY col_name)
+            SELECT col_name,
+                   CASE WHEN non_empty = 0 THEN 'IGNORED'
+                        WHEN num_cnt * 5 >= non_empty * 3 THEN 'NUMBER'
+                        WHEN date_cnt * 5 >= non_empty * 3 THEN 'DATETIME'
+                        WHEN tok_sum > non_empty * 8 THEN 'STRING'
+                        ELSE 'NE' END AS kind,
+                   non_empty, num_cnt, date_cnt, tok_sum
+            FROM agg
+        """,
         "fingerprints": _FINGERPRINT_SQL,
         "media_decode": _MEDIA_SQL,
         "minhash_exactset_dedup": _MINHASH_EXACTSET_SQL,

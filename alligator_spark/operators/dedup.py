@@ -70,14 +70,20 @@ def _pairs_from_buckets(
     lost; the returned ``stats`` (bucket_key, sz, n_salts) feeds lineage
     (mirrors pairs.candidate_pairs' block_stats).
 
-    Residual bound (documented, measured in tests): in a MIXED oversize
-    bucket (several distinct near-dup groups salted together), cross-salt
-    pairs connect only through the rep pairs, so two same-group docs in
-    different salts whose groups' reps belong to OTHER groups can stay
-    separate. Homogeneous heavy-hitter buckets — the case oversize buckets
-    exist for — are fully connected (pytest pins 10k near-identical docs
-    collapsing to one component).
+    Mixed-bucket handling: when ``keyed`` carries a ``salt_key`` column (a
+    CONTENT prefix — here the doc's first MinHash band key, shared w.h.p.
+    by near-identical docs), each (bucket, salt_key) group in a SPLIT
+    bucket additionally contributes STAR edges to its min-id member:
+    O(group) extra edges (heavy-hitter safe), every one between docs
+    sharing the full content prefix, so it survives the downstream verify
+    and keeps a near-dup group connected even when the id salt interleaves
+    it with other groups across salts (the r3 residual: same-group docs in
+    different salts used to connect only through rep pairs whose reps may
+    belong to OTHER groups — pytest quantifies that gap on an adversarial
+    interleaved fixture and pins that content stars close it). Without a
+    ``salt_key`` column the plain salted pairing applies.
     """
+    has_salt_key = "salt_key" in keyed.columns
     sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
     stats = sizes.withColumn(
         "n_salts",
@@ -97,7 +103,13 @@ def _pairs_from_buckets(
                 )
             ),
         )
-        .select("bucket_key", "salt", F.col(id_col).alias("_id"), "n_salts")
+        .select(
+            "bucket_key",
+            "salt",
+            F.col(id_col).alias("_id"),
+            "n_salts",
+            *(["salt_key"] if has_salt_key else []),
+        )
     )
     a = keyed.select("bucket_key", "salt", F.col("_id").alias("a"))
     b = keyed.select("bucket_key", "salt", F.col("_id").alias("b"))
@@ -120,7 +132,30 @@ def _pairs_from_buckets(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    pairs = within.unionByName(rep_pairs).distinct()
+    pairs = within.unionByName(rep_pairs)
+    if has_salt_key:
+        # content stars: min-id member per (split bucket, content prefix)
+        # paired to every other member of that content group — O(group)
+        # edges, each verify-surviving by construction (shared prefix)
+        grp = keyed.filter(F.col("n_salts") > 1).select(
+            "bucket_key", "salt_key", "_id"
+        )
+        grp_rep = grp.groupBy("bucket_key", "salt_key").agg(
+            F.min("_id").alias("_rep"), F.count("*").alias("_gn")
+        )
+        star = (
+            grp.join(
+                grp_rep.filter(F.col("_gn") > 1).hint("shuffle_hash"),
+                ["bucket_key", "salt_key"],
+            )
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(
+                F.least("_id", "_rep").alias("a"),
+                F.greatest("_id", "_rep").alias("b"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     return pairs, stats.select("bucket_key", "sz", "n_salts")
 
 
@@ -160,9 +195,13 @@ def minhash_buckets(
     def mh(s: pd.Series) -> pd.Series:
         return pd.Series(minhash_band_keys(s.tolist(), nh, nb, sd))
 
-    return df.select(
+    # salt_key = the doc's FIRST band key: a content prefix shared w.h.p.
+    # by near-identical docs, so mixed oversize buckets content-co-salt
+    # (see _pairs_from_buckets)
+    return df.select(F.col(id_col), mh(F.col(text_col)).alias("_keys")).select(
         F.col(id_col),
-        F.explode(mh(F.col(text_col))).alias("bucket_key"),
+        F.explode("_keys").alias("bucket_key"),
+        F.element_at("_keys", 1).alias("salt_key"),
     )
 
 
@@ -202,9 +241,13 @@ def minhash_lsh_dedup(
             )
         return pd.Series(out)
 
-    es = df.select(
-        F.col(id_col), exact_set_key(F.col(text_col)).alias("bucket_key")
-    ).filter(F.col("bucket_key").isNotNull())
+    es = (
+        df.select(F.col(id_col), exact_set_key(F.col(text_col)).alias("bucket_key"))
+        .filter(F.col("bucket_key").isNotNull())
+        # the exact-set bucket is content-homogeneous by construction: the
+        # bucket key itself is the content salt prefix
+        .withColumn("salt_key", F.col("bucket_key"))
+    )
     keyed = keyed.unionByName(es)
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)

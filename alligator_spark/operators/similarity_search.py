@@ -150,27 +150,72 @@ def lsh_topk(
     )
 
 
-def _kmeans_centroids(
-    sample: np.ndarray, n_centroids: int, iters: int, seed: int
+def _norm_expr(v):
+    """JVM-side L2 normalization of an array column (double)."""
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.transform(v, lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)))
+
+
+def _cell_assign_udf(cent: np.ndarray, probes: int):
+    """pandas UDF: nearest-`probes` centroid cells per vector (the
+    centroid matrix rides to executors inside the UDF closure — tiny)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.values).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :probes]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return cells
+
+
+def _distributed_centroids(
+    sample_df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    iters: int,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a driver-side sample: seeded
-    init, assign by dot product on normalized vectors, mean + renorm.
-    The sample is small (<= a few thousand rows) — this is O(sample x
-    centroids x iters) on the driver, not a distributed job."""
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    x = sample / np.maximum(norms, 1e-12)
-    rng = np.random.RandomState(seed)
-    idx = rng.permutation(len(x))[:n_centroids]
-    cent = x[idx].copy()
+    """Spherical k-means with DISTRIBUTED Lloyd rounds — nothing
+    corpus-sized ever reaches the driver (r3's version collected a
+    32*n_centroids-row sample and iterated driver-side: O(sample x
+    centroids x iters) driver flops, untenable once n_centroids ~ sqrt(N)).
+
+    ``sample_df`` carries a pre-normalized ``_xn`` column and an ``_ord``
+    hash-order column; per round the members are assigned to their
+    nearest centroid by a broadcast-closure pandas UDF (one pass), the
+    per-cell per-dimension means come back from a groupBy aggregate, and
+    only the n_centroids x dim mean matrix is collected each round."""
+    # deterministic init: first n_centroids rows of the hash order
+    init_rows = sample_df.orderBy("_ord").limit(n_centroids).select("_xn").collect()
+    cent = np.array([list(r["_xn"]) for r in init_rows], dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for ci in range(len(cent)):
-            members = x[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 1e-12:
-                    cent[ci] = m / n
+        assign = _cell_assign_udf(cent, 1)
+        stats = (
+            sample_df.select(
+                F.element_at(assign(F.col("_xn")), 1).alias("cell"),
+                F.posexplode("_xn").alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        means = np.zeros_like(cent)
+        seen = np.zeros(len(cent), dtype=bool)
+        for r in stats:
+            means[r["cell"], r["pos"]] = r["m"]
+            seen[r["cell"]] = True
+        norms = np.linalg.norm(means, axis=1)
+        ok = seen & (norms > 1e-12)
+        new[ok] = means[ok] / norms[ok, None]
+        cent = new
     return cent
 
 
@@ -188,8 +233,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN top-k — the corpus-scale path.
 
-    1. deterministic corpus sample (min-id rows) -> driver-side spherical
-       k-means -> ``n_centroids`` centroids (broadcast, tiny);
+    1. deterministic corpus sample (xxhash64 order, never collected) ->
+       DISTRIBUTED spherical k-means (``_distributed_centroids``: Lloyd
+       assignment is a broadcast-centroid pandas UDF pass, the mean step
+       a groupBy aggregate; only the n_centroids x dim matrix reaches
+       the driver per round);
     2. each corpus vector is assigned to its nearest centroid cell — ONE
        pass, one int per vector; cells partition the corpus evenly by
        construction (k-means balances mass), so no degenerate buckets;
@@ -199,45 +247,41 @@ def ivf_topk(
 
     Scaling knobs are explicit: n_centroids ~ sqrt(N) keeps cells at
     ~sqrt(N) vectors; recall rises with nprobe (nprobe == n_centroids
-    degenerates to exact search).
+    degenerates to exact search). ``seed`` is kept for signature
+    stability (the deterministic hash-order init needs no RNG).
     """
     # sample scales with the requested centroid count (>= 32 rows per
     # centroid) so a sqrt(N)-sized n_centroids is never silently capped by
     # a fixed sample; xxhash64 ordering = deterministic pseudo-random
     # sample independent of partitioning, fetched as a per-partition
-    # top-K (TakeOrdered — no global sort of the corpus)
+    # top-K (TakeOrdered — no global sort of the corpus). The sample
+    # STAYS distributed; only its row count (a scalar) comes back.
+    del seed
     sample_size = max(sample_size, 32 * n_centroids)
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
+    sample_df = (
+        corpus.select(
+            F.xxhash64(F.col(id_col)).alias("_ord"),
+            _norm_expr(F.col(vec_col)).alias("_xn"),
+        )
+        .orderBy("_ord")
         .limit(sample_size)
-        .collect()
+        .persist()
     )
-    sample = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
-    if n_centroids > len(sample):
+    n_sample = sample_df.count()
+    if n_centroids > n_sample:
         import warnings
 
         warnings.warn(
-            f"ivf_topk: corpus sample ({len(sample)} rows) smaller than "
+            f"ivf_topk: corpus sample ({n_sample} rows) smaller than "
             f"n_centroids={n_centroids}; capping centroids to the sample",
             stacklevel=2,
         )
-    n_centroids = min(n_centroids, len(sample))
-    cent = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
+    n_centroids = min(n_centroids, n_sample)
+    cent = _distributed_centroids(sample_df, vec_col, n_centroids, kmeans_iters)
+    sample_df.unpersist()
 
-    def _cell_udf(n_cells: int, probes: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def cells(v: pd.Series) -> pd.Series:
-            mat = np.stack(v.values).astype(np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cent.T
-            order = np.argsort(-sims, axis=1)[:, :probes]
-            return pd.Series([row.astype("int32").tolist() for row in order])
-
-        return cells
-
-    assign1 = _cell_udf(n_centroids, 1)
-    assignp = _cell_udf(n_centroids, nprobe)
+    assign1 = _cell_assign_udf(cent, 1)
+    assignp = _cell_assign_udf(cent, nprobe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

