@@ -39,6 +39,25 @@ def main(argv: list[str] | None = None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet/iceberg path of (doc_id, spans) docs")
     src.add_argument("--synthesize", help="BxK+D deterministic corpus spec")
+    src.add_argument(
+        "--csv",
+        help="UNTYPED csv (header row): columns are classified from a "
+        "32-row sample (NE/NUMBER/DATETIME/STRING/IGNORED, reference "
+        "manager/data.py:78-141) and onboarded as (doc_id, spans) docs",
+    )
+    ap.add_argument(
+        "--id-column",
+        help="with --csv: column to use as doc_id (default: synthesized "
+        "from the mention column)",
+    )
+    ap.add_argument(
+        "--target-column",
+        action="append",
+        default=[],
+        metavar="COL=KIND",
+        help="with --csv: override an inferred column kind "
+        "(NE|NUMBER|DATETIME|STRING|IGNORED); repeatable",
+    )
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
@@ -62,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
 
         spec = parse_spec(args.synthesize)
         docs = generate_docs(spark, spec)
+    elif args.csv:
+        from alligator_spark.operators.classify import (
+            classify_columns,
+            docs_from_table,
+        )
+
+        raw = spark.read.csv(args.csv, header=True, inferSchema=False)
+        overrides = dict(kv.split("=", 1) for kv in args.target_column)
+        cls_rows = classify_columns(raw, target_overrides=overrides or None)
+        classification = {
+            r["col_name"]: r["kind"] for r in cls_rows.collect()
+        }
+        print(json.dumps({"classified_columns": classification}), file=sys.stderr)
+        docs = docs_from_table(raw, classification, id_col=args.id_column)
     else:
         docs = spark.read.parquet(args.input)
 

@@ -96,6 +96,40 @@ class TestDocsFromTable:
         with pytest.raises(ValueError, match="no NE column"):
             docs_from_table(raw_table, {"id": "NUMBER"})
 
+    def test_cli_csv_path_links_variant_rows(self, spark, tmp_path):
+        """The full untyped-CSV CLI surface: classify -> onboard -> link.
+        25 pairs of clean_str-variant names must land in 25 components."""
+        import csv
+
+        from alligator_spark.cli import main
+
+        p = tmp_path / "untyped.csv"
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["rowid", "name", "amount", "when", "notes"])
+            for i in range(50):
+                grp = i // 2
+                name = (
+                    f"acme widget {grp:03d}"
+                    if i % 2 == 0
+                    else f"Acme_Widget_{grp:03d} [1x]"
+                )
+                w.writerow(
+                    [
+                        str(i),
+                        name,
+                        f"{grp}.50",
+                        f"2024-02-{(grp % 27) + 1:02d}",
+                        " ".join(["note"] * 10),
+                    ]
+                )
+        wd = str(tmp_path / "wd")
+        assert (
+            main(["--csv", str(p), "--id-column", "rowid", "--workdir", wd]) == 0
+        )
+        comps = spark.read.parquet(f"{wd}/*/components")
+        assert comps.select("component_id").distinct().count() == 25
+
     def test_onboarded_docs_run_the_pipeline(self, spark, raw_table):
         """The full untyped-CSV path: classify -> docs_from_table ->
         normalize/linkage smoke (schema-compatible input)."""
