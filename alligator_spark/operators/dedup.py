@@ -82,6 +82,14 @@ def _pairs_from_buckets(
     belong to OTHER groups — pytest quantifies that gap on an adversarial
     interleaved fixture and pins that content stars close it). Without a
     ``salt_key`` column the plain salted pairing applies.
+
+    Join policy: every build side here (bucket stats, the self-join
+    side, rep/star tables) is CORPUS-scaled and sits below pandas-UDF
+    sources whose size estimates are fiction, so all joins pin
+    ``shuffle_hash`` — the same never-broadcast-the-corpus rule the
+    scoring path enforces (the r4 plan audit caught the planner choosing
+    broadcast for 8 such joins under the 8MB ceiling at small SF; at
+    real scale each is a serial driver collect+build).
     """
     has_salt_key = "salt_key" in keyed.columns
     sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
@@ -93,7 +101,7 @@ def _pairs_from_buckets(
         ).otherwise(F.lit(1)),
     )
     keyed = (
-        keyed.join(stats, "bucket_key")
+        keyed.join(stats.hint("shuffle_hash"), "bucket_key")
         .filter(F.col("sz") > 1)
         .withColumn(
             "salt",
@@ -114,7 +122,7 @@ def _pairs_from_buckets(
     a = keyed.select("bucket_key", "salt", F.col("_id").alias("a"))
     b = keyed.select("bucket_key", "salt", F.col("_id").alias("b"))
     within = (
-        a.join(b, ["bucket_key", "salt"])
+        a.join(b.hint("shuffle_hash"), ["bucket_key", "salt"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
@@ -128,7 +136,7 @@ def _pairs_from_buckets(
     )
     rep_pairs = (
         reps.select("bucket_key", F.col("salt_rep").alias("a"))
-        .join(reps.select("bucket_key", F.col("salt_rep").alias("b")), "bucket_key")
+        .join(reps.select("bucket_key", F.col("salt_rep").alias("b")).hint("shuffle_hash"), "bucket_key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
@@ -257,8 +265,8 @@ def minhash_lsh_dedup(
     # keep the Python verify stage spread across cores (AQE would coalesce
     # the small bucket-join output to one task — see scoring.score_pairs)
     enriched = (
-        pairs.join(texts_a, "a")
-        .join(texts_b, "b")
+        pairs.join(texts_a.hint("shuffle_hash"), "a")
+        .join(texts_b.hint("shuffle_hash"), "b")
         .repartition(max(sc.defaultParallelism * 2, 8))
     )
 
@@ -325,8 +333,8 @@ def simhash_dedup(
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     verified = (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        pairs.join(sa.hint("shuffle_hash"), "a")
+        .join(sb.hint("shuffle_hash"), "b")
         .withColumn("ham", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("ham") <= max_hamming)
     )
@@ -377,8 +385,8 @@ def embedding_neardup(
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     verified = (
-        pairs.join(va, "a")
-        .join(vb, "b")
+        pairs.join(va.hint("shuffle_hash"), "a")
+        .join(vb.hint("shuffle_hash"), "b")
         .withColumn("cos", cos("va", "vb"))
         .filter(F.col("cos") >= threshold)
     )
