@@ -40,6 +40,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Both star joins pin shuffle_hash on the per-node min table: `mins` has
+# one row per DISTINCT NODE — corpus-scaled — and sits above a truncated
+# localCheckpoint whose size estimates are fiction, so the planner chose
+# broadcast (r4 audit: 4 BroadcastHashJoin per fused double-round). A
+# broadcast build is a serial driver collect that grows with the corpus
+# and repeats EVERY round — at 10^12 nodes each round would ship the
+# whole node table through the driver. Both join sides are already
+# hash-partitioned on `u` by the groupBy, so the pinned shuffle join
+# reuses those exchanges.
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     bidir = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -47,7 +58,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.withColumn("m", F.least("u", "mv")).select("u", "m")
     return (
-        bidir.join(mins, "u")
+        bidir.join(mins.hint("shuffle_hash"), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .distinct()
@@ -60,7 +71,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ).filter(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     attach = (
-        oriented.join(mins, "u")
+        oriented.join(mins.hint("shuffle_hash"), "u")
         .filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
     )
