@@ -1156,7 +1156,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN date_cnt * 5 >= non_empty * 3 THEN 'DATETIME'
                         WHEN tok_sum > non_empty * 8 THEN 'STRING'
                         ELSE 'NE' END AS kind,
-                   non_empty, num_cnt, date_cnt, tok_sum
+                   non_empty::BIGINT AS non_empty, num_cnt::BIGINT AS num_cnt,
+                   date_cnt::BIGINT AS date_cnt, tok_sum::BIGINT AS tok_sum
             FROM agg
         """,
         "fingerprints": _FINGERPRINT_SQL,

@@ -87,8 +87,23 @@ def main(argv: list[str] | None = None) -> int:
             docs_from_table,
         )
 
+        from alligator_spark.operators.classify import (
+            DATE_KIND,
+            IGNORED_KIND,
+            NE_KIND,
+            NUMBER_KIND,
+            STRING_KIND,
+        )
+
+        known_kinds = {NE_KIND, NUMBER_KIND, DATE_KIND, STRING_KIND, IGNORED_KIND}
         raw = spark.read.csv(args.csv, header=True, inferSchema=False)
         overrides = dict(kv.split("=", 1) for kv in args.target_column)
+        bad = {c: k for c, k in overrides.items() if k not in known_kinds}
+        if bad:
+            ap.error(
+                f"--target-column: unknown kind(s) {bad}; "
+                f"valid kinds: {sorted(known_kinds)}"
+            )
         cls_rows = classify_columns(raw, target_overrides=overrides or None)
         classification = {
             r["col_name"]: r["kind"] for r in cls_rows.collect()

@@ -194,9 +194,17 @@ def cea_prf(
     starting with ``iri_prefix`` gets it prepended; it is correct when it
     appears (case-insensitively) in the gt entity's space-split list.
     P = correct/annotated, R = correct/|gt|.
+
+    The gt is deduped to ONE row per cell key before the join (the
+    reference loads it into a dict, so a duplicated gt key keeps a single
+    entry — cea_wd.py:30-35; with no meaningful file order in a
+    distributed read we keep the lexicographically greatest entity, which
+    is deterministic). Without this, a duplicated gt key would fan out
+    the join and either spuriously raise the duplicate-submission error
+    or double-count.
     """
     key = ["tab_id", "row_id", "col_id"]
-    g = gt.select(*key, F.col("entity").alias("gt_entity"))
+    g = gt.groupBy(*key).agg(F.max("entity").alias("gt_entity"))
     s = submission.select(*key, "entity")
     annotated = s.join(g, key)
     dup = annotated.groupBy(*key).agg(F.count("*").alias("n")).filter("n > 1")
@@ -232,6 +240,56 @@ def cea_prf(
     }
 
 
+_WD_PROP_PREFIX = "http://www.wikidata.org/prop/direct/"
+
+
+def cpa_prf(
+    submission: DataFrame, gt: DataFrame, iri_prefix: str | None = _WD_PROP_PREFIX
+) -> dict[str, float]:
+    """SemTab CPA scoring (eval/evaluators/cpa_wd.py:33-65).
+
+    Both frames carry (tab_id, sub_col_id, obj_col_id, property).
+    Reference rules, replicated exactly: the gt is a dict keyed
+    (tab_id, sub_col_id, obj_col_id) — deduped to one property per key;
+    submission rows outside the gt universe are ignored; duplicate
+    submission keys (within the gt universe) raise; an annotation not
+    starting with ``iri_prefix`` gets it prepended; correct = exact
+    case-insensitive equality with the gt property. P = correct/annotated,
+    R = correct/|gt keys|, F1 = 2PR/(P+R).
+    """
+    key = ["tab_id", "sub_col_id", "obj_col_id"]
+    g = gt.groupBy(*key).agg(F.max("property").alias("gt_property"))
+    s = submission.select(*key, "property")
+    annotated = s.join(g, key)
+    dup = annotated.groupBy(*key).agg(F.count("*").alias("n")).filter("n > 1")
+    if dup.limit(1).count():
+        raise ValueError("Duplicate column pairs in the submission file")
+    ann = F.col("property")
+    if iri_prefix:
+        ann = F.when(ann.startswith(iri_prefix), ann).otherwise(
+            F.concat(F.lit(iri_prefix), ann)
+        )
+    correct_expr = F.lower(ann) == F.lower("gt_property")
+    row = annotated.agg(
+        F.count("*").alias("annotated"),
+        F.sum(correct_expr.cast("long")).alias("correct"),
+    ).collect()[0]
+    n_gt = g.count()
+    annotated_n = int(row["annotated"] or 0)
+    correct = int(row["correct"] or 0)
+    p = correct / annotated_n if annotated_n else 0.0
+    r = correct / n_gt if n_gt else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+        "correct": correct,
+        "annotated": annotated_n,
+        "gt_pairs": n_gt,
+    }
+
+
 def _read_headerless(spark, path: str, cols: list[str]) -> DataFrame:
     df = spark.read.csv(path, header=False, inferSchema=False)
     return df.toDF(*cols[: len(df.columns)])
@@ -245,14 +303,21 @@ def main(argv: list[str] | None = None) -> int:
     CEA CSVs are headerless (tab_id, row_id, col_id, entity); CTA pred is
     (tab_id, col_id, annotation), CTA gt is (tab_id, col_id, types) with
     space-separated gold types, plus optional --ancestors/--descendants
-    CSVs (gt_type, node, depth).
+    CSVs (gt_type, node, depth); CPA CSVs are
+    (tab_id, sub_col_id, obj_col_id, property) per cpa_evaluate.py.
+
+    IRI-prefix rule (all three tasks, opt out with --no-iri-prefix): a
+    bare annotation gets the Wikidata prefix prepended — entity/ for
+    CEA and CTA (cea_wd.py:49-50, cta_wd.py:62-63), prop/direct/ for
+    CPA (cpa_wd.py:52-53) — so bare-QID submissions score against IRI
+    ground truth exactly like the reference.
     """
     import argparse
     import json
     import time
 
     ap = argparse.ArgumentParser(prog="alligator_spark.eval")
-    ap.add_argument("--task", choices=["cea", "cta"], default="cea")
+    ap.add_argument("--task", choices=["cea", "cta", "cpa"], default="cea")
     ap.add_argument("--pred", required=True)
     ap.add_argument("--gt", required=True)
     ap.add_argument("--ancestors")
@@ -275,11 +340,28 @@ def main(argv: list[str] | None = None) -> int:
             sub, gt, iri_prefix=None if args.no_iri_prefix else _WD_PREFIX
         )
         n_rows = res["annotated"]
+    elif args.task == "cpa":
+        cols = ["tab_id", "sub_col_id", "obj_col_id", "property"]
+        sub = _read_headerless(spark, args.pred, cols)
+        gt = _read_headerless(spark, args.gt, cols)
+        res = cpa_prf(
+            sub, gt, iri_prefix=None if args.no_iri_prefix else _WD_PROP_PREFIX
+        )
+        n_rows = res["annotated"]
     else:
         sub = _read_headerless(spark, args.pred, ["tab_id", "col_id", "annotation"])
         gt = _read_headerless(spark, args.gt, ["tab_id", "col_id", "types"])
         key = F.concat_ws(" ", "tab_id", "col_id")
-        sub2 = sub.select(key.alias("col_id"), "annotation")
+        # reference parity (cta_wd.py:62-63): prepend the entity/ IRI
+        # prefix to bare annotations BEFORE the hierarchy lookup — a
+        # standard SemTab CTA submission carries bare QIDs while the gt
+        # and ancestor/descendant tables carry full IRIs
+        ann = F.col("annotation")
+        if not args.no_iri_prefix:
+            ann = F.when(ann.startswith(_WD_PREFIX), ann).otherwise(
+                F.concat(F.lit(_WD_PREFIX), ann)
+            )
+        sub2 = sub.select(key.alias("col_id"), ann.alias("annotation"))
         gt2 = gt.select(
             key.alias("col_id"),
             F.explode(F.split("types", " ")).alias("gt_type"),

@@ -66,16 +66,21 @@ def classify_columns(
     Returns one row per column: (col_name, kind, non_empty, num_cnt,
     date_cnt, tok_sum) — the integer evidence is exposed so the decision
     is auditable (and oracle-checkable). The sample is the first
-    ``sample_rows`` rows under ``order_by`` (default: the first column)
-    — deterministic regardless of partitioning, mirroring the
-    reference's fixed head sample.
+    ``sample_rows`` rows under ``order_by`` (default: the first column),
+    with every remaining column as a tie-break so the ordering is total
+    over distinct rows: the sampled multiset is deterministic regardless
+    of partitioning even when ``order_by`` has duplicates at the cut
+    boundary (fully identical rows are interchangeable, so which copy is
+    taken cannot change the evidence). Mirrors the reference's fixed
+    head sample (nrows=32, data.py:50).
 
     ``target_overrides`` maps col_name -> kind and wins over inference
     (the reference's ``target_columns`` semantics, data.py:114-126).
     """
     cols = list(cols or df.columns)
     order_by = order_by or df.columns[0]
-    sample = df.orderBy(order_by).limit(sample_rows)
+    tiebreak = [c for c in df.columns if c != order_by]
+    sample = df.orderBy(order_by, *tiebreak).limit(sample_rows)
 
     # unpivot to (col_name, value): the per-column aggregate is then one
     # groupBy over sample_rows * n_cols cells
@@ -138,9 +143,18 @@ def docs_from_table(
     The FIRST NE column (in table order) is the ``mention`` span; LIT
     columns become typed literal spans in column order; IGNORED columns
     (and any NE column past the first — the reference links one entity
-    per row slot at a time) are dropped. ``doc_id`` comes from ``id_col``
-    or is synthesized from the row's position under the first column's
-    ordering (deterministic for distinct keys).
+    per row slot at a time) are dropped.
+
+    ``doc_id`` comes from ``id_col`` when given. Otherwise it is
+    synthesized from the WHOLE row — ``md5(to_json(struct(*cols)))`` plus
+    a per-duplicate rank for bit-identical rows — so two rows that share
+    a mention string but differ anywhere else arrive as TWO distinct
+    docs and get linked by the pipeline, never silently pre-merged
+    (duplicate names are the normal case for record-linkage input).
+    Fully identical rows are interchangeable, so their rank assignment
+    is deterministic up to permutation: the output doc set is stable
+    regardless of partitioning. The rank window partitions on the
+    row hash (near-unique keys — one narrow shuffle, no skew).
     """
     ne_cols = [c for c in df.columns if classification.get(c) == NE_KIND]
     if not ne_cols:
@@ -164,9 +178,24 @@ def docs_from_table(
             )
         )
         offset += 1
-    doc_id = (
-        F.col(id_col).cast("string")
-        if id_col
-        else F.concat(F.lit("r"), F.md5(F.col(mention_col).cast("string")))
+    if id_col:
+        return df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.array(*spans).alias("spans"),
+        )
+    from pyspark.sql import Window
+
+    row_hash = F.md5(
+        F.to_json(F.struct(*[F.col(c).cast("string") for c in df.columns]))
     )
-    return df.select(doc_id.alias("doc_id"), F.array(*spans).alias("spans"))
+    w = Window.partitionBy("_row_hash").orderBy(F.lit(1))
+    return (
+        df.withColumn("_row_hash", row_hash)
+        .withColumn("_dup_rank", F.row_number().over(w))
+        .select(
+            F.concat(
+                F.lit("r"), F.col("_row_hash"), F.lit("-"), F.col("_dup_rank")
+            ).alias("doc_id"),
+            F.array(*spans).alias("spans"),
+        )
+    )

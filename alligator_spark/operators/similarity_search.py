@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Supported flat-codebook ceiling for ivf_topk: beyond this, the
+# UDF-closure centroid matrix (~n_centroids x dim x 8 bytes per task
+# serialization) and the per-Lloyd-round means collect stop being "tiny";
+# see the ivf_topk docstring for the hierarchical-IVF scale path.
+IVF_MAX_CENTROIDS = 100_000
+
 
 def _cosine_expr(a, b):
     """JVM-side cosine between two array<float/double> columns."""
@@ -249,6 +255,19 @@ def ivf_topk(
     ~sqrt(N) vectors; recall rises with nprobe (nprobe == n_centroids
     degenerates to exact search). ``seed`` is kept for signature
     stability (the deterministic hash-order init needs no RNG).
+
+    SUPPORTED CENTROID CEILING: ``n_centroids <= IVF_MAX_CENTROIDS``
+    (10^5). Two driver/closure costs grow linearly with n_centroids and
+    bound this implementation: (a) the centroid matrix rides to
+    executors inside the pandas-UDF closure — n_centroids x dim float64,
+    ~100 MB at 10^5 x 128, re-serialized per stage; (b) each Lloyd round
+    collects the n_centroids x dim per-cell means. Both are fine to 10^5
+    centroids (cells of ~10^5 vectors cover corpora to N ~ 10^10); the
+    naive n_centroids ~ sqrt(N) prescription would exceed the ceiling
+    around N ~ 10^10 and emits a warning here — the scale path beyond
+    that is hierarchical IVF (a second k-means level inside each cell),
+    which keeps every closure at sqrt(ceiling), not a bigger flat
+    codebook.
     """
     # sample scales with the requested centroid count (>= 32 rows per
     # centroid) so a sqrt(N)-sized n_centroids is never silently capped by
@@ -257,6 +276,16 @@ def ivf_topk(
     # top-K (TakeOrdered — no global sort of the corpus). The sample
     # STAYS distributed; only its row count (a scalar) comes back.
     del seed
+    if n_centroids > IVF_MAX_CENTROIDS:
+        import warnings
+
+        warnings.warn(
+            f"ivf_topk: n_centroids={n_centroids} exceeds the supported "
+            f"ceiling of {IVF_MAX_CENTROIDS} (UDF-closure centroid matrix "
+            "and per-round means collect grow linearly with it); use a "
+            "hierarchical IVF layout instead of a larger flat codebook",
+            stacklevel=2,
+        )
     sample_size = max(sample_size, 32 * n_centroids)
     sample_df = (
         corpus.select(

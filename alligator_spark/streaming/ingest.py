@@ -33,6 +33,21 @@ via ``dropDuplicatesWithinWatermark``: the dedup state store is evicted
 once its event time falls behind the watermark, so state is bounded; a
 duplicate arriving later than the watermark delay after the original
 may be re-emitted (the documented streaming-dedup trade).
+
+RECALL STALENESS SLA. The stream path trades recall for bounded
+per-arrival cost in exactly two places: (a) a pair reachable ONLY
+through a block key that ``corpus_index`` dropped as hot (> max_block
+corpus docs) produces NO candidate row in any micro-batch; (b) a pair
+reachable only through MinHash fuzzy banding is likewise invisible
+(banding is batch-only). Both are recovered by the periodic batch pass
+— the full pipeline (salted hot blocks + fuzzy banding) over
+corpus + arrivals, whose accepted edges are unioned into the edge sink
+and re-decided by ``reconcile_edges``. The worst-case staleness of a
+hot-key-only or fuzzy-only match therefore EQUALS the batch cadence:
+an operator who needs such matches visible within T must schedule the
+batch pass at period <= T. Strong stream matches are visible within
+one micro-batch trigger; borderline (gap+ratio) acceptances within one
+reconcile period. Size the cadence from these three tiers.
 """
 
 from __future__ import annotations

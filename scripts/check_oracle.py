@@ -28,8 +28,15 @@ def canon(df: pd.DataFrame) -> tuple:
 
     def cell(v):
         if isinstance(v, float):
-            # collapse -0.0/0.0 and tiny representation drift
-            return f"{v:.9g}"
+            # Collapse -0.0/0.0 and tiny representation drift, but KEEP the
+            # float-ness visible: the driver's value hash distinguishes int64
+            # 32 from float64 32.0 (this masked the r4 infer_column_kinds
+            # dtype bug), so an integral float must not canonicalize to the
+            # same string as an int.
+            s = f"{v:.9g}"
+            if "." not in s and "e" not in s and "n" not in s:
+                s += ".0"
+            return s
         return str(v)
 
     rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))

@@ -130,6 +130,72 @@ class TestDocsFromTable:
         comps = spark.read.parquet(f"{wd}/*/components")
         assert comps.select("component_id").distinct().count() == 25
 
+    def test_synth_doc_id_no_collisions(self, spark):
+        """Without id_col, duplicate mention strings must NOT collapse:
+        doc_id hashes the whole row (+ a rank for bit-identical rows)."""
+        df = spark.createDataFrame(
+            [
+                ("acme widget", "1.50"),   # same mention, different literal
+                ("acme widget", "2.75"),
+                ("acme widget", "2.75"),   # bit-identical to the row above
+                ("other corp", "9.00"),
+            ],
+            ["name", "amount"],
+        )
+        docs = docs_from_table(df, {"name": "NE", "amount": "NUMBER"})
+        rows = docs.collect()
+        assert len(rows) == 4
+        assert len({r["doc_id"] for r in rows}) == 4  # no silent merge
+        # determinism across partitioning: same doc-id SET either way
+        ids1 = {r["doc_id"] for r in docs_from_table(df.repartition(7),
+                {"name": "NE", "amount": "NUMBER"}).collect()}
+        assert ids1 == {r["doc_id"] for r in rows}
+
+    def test_cli_csv_duplicate_names_link_not_premerge(self, spark, tmp_path):
+        """ADVICE r4 (high): two CSV rows with the SAME name and different
+        literals, onboarded WITHOUT --id-column, must arrive as two docs
+        and be linked by the pipeline (1 accepted edge, 1 component) —
+        not pre-merged into one doc."""
+        import csv
+
+        from alligator_spark.cli import main
+
+        p = tmp_path / "dups.csv"
+        notes = " ".join(["industrial fastener supplier catalog"] * 3)
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "amount", "notes"])
+            # same mention + corroborating STRING context, amount differs:
+            # must onboard as TWO docs and link (the rank model requires
+            # literal corroboration, so the notes column carries it)
+            w.writerow(["acme widget 001", "1.50", notes])
+            w.writerow(["acme widget 001", "2.75", notes])
+        wd = str(tmp_path / "wd")
+        assert main(["--csv", str(p), "--workdir", wd]) == 0
+        comps = spark.read.parquet(f"{wd}/*/components")
+        assert comps.count() == 2  # two docs survived onboarding
+        assert comps.select("component_id").distinct().count() == 1
+        edges = spark.read.parquet(f"{wd}/*/accepted_edges")
+        assert edges.filter("accepted").count() == 1
+
+    def test_cli_unknown_target_kind_errors(self, spark, tmp_path):
+        """ADVICE r4 (low): a typo'd --target-column kind must error out,
+        not silently drop the column."""
+        import csv
+
+        from alligator_spark.cli import main
+
+        p = tmp_path / "t.csv"
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "amount"])
+            w.writerow(["acme", "1.5"])
+        with pytest.raises(SystemExit):
+            main(
+                ["--csv", str(p), "--target-column", "amount=Number",
+                 "--workdir", str(tmp_path / "wd")]
+            )
+
     def test_onboarded_docs_run_the_pipeline(self, spark, raw_table):
         """The full untyped-CSV path: classify -> docs_from_table ->
         normalize/linkage smoke (schema-compatible input)."""

@@ -193,6 +193,103 @@ class TestCeaPrf:
         assert out["rows_per_sec"] is not None
 
 
+class TestCpaPrf:
+    def test_pinned_arithmetic(self, spark):
+        """Pinned vs eval/evaluators/cpa_wd.py:33-65: 3 gt pairs, 2
+        annotated within the gt universe (1 correct via bare-property
+        prefixing + case fold, 1 wrong), 1 outside ignored."""
+        from alligator_spark.eval import cpa_prf
+
+        gt = spark.createDataFrame(
+            [
+                ("t1", "0", "1", "http://www.wikidata.org/prop/direct/P17"),
+                ("t1", "0", "2", "http://www.wikidata.org/prop/direct/P31"),
+                ("t1", "0", "3", "http://www.wikidata.org/prop/direct/P50"),
+            ],
+            ["tab_id", "sub_col_id", "obj_col_id", "property"],
+        )
+        sub = spark.createDataFrame(
+            [
+                ("t1", "0", "1", "p17"),   # bare, wrong case -> correct
+                ("t1", "0", "2", "P99"),   # wrong
+                ("t9", "0", "1", "P17"),   # outside gt -> ignored
+            ],
+            ["tab_id", "sub_col_id", "obj_col_id", "property"],
+        )
+        m = cpa_prf(sub, gt)
+        assert m["correct"] == 1 and m["annotated"] == 2 and m["gt_pairs"] == 3
+        assert m["precision"] == pytest.approx(0.5)
+        assert m["recall"] == pytest.approx(1 / 3)
+        assert m["f1"] == pytest.approx(2 * 0.5 * (1 / 3) / (0.5 + 1 / 3))
+
+    def test_duplicate_pairs_raise_and_gt_dedupes(self, spark):
+        from alligator_spark.eval import cpa_prf
+
+        gt = spark.createDataFrame(
+            [
+                # duplicated gt key must dedupe to ONE entry (dict
+                # semantics, cpa_wd.py:33-35), not fan out the join
+                ("t1", "0", "1", "http://www.wikidata.org/prop/direct/P17"),
+                ("t1", "0", "1", "http://www.wikidata.org/prop/direct/P17"),
+            ],
+            ["tab_id", "sub_col_id", "obj_col_id", "property"],
+        )
+        sub = spark.createDataFrame(
+            [("t1", "0", "1", "P17")],
+            ["tab_id", "sub_col_id", "obj_col_id", "property"],
+        )
+        m = cpa_prf(sub, gt)
+        assert m["gt_pairs"] == 1 and m["correct"] == 1
+        dup_sub = spark.createDataFrame(
+            [("t1", "0", "1", "P17"), ("t1", "0", "1", "P31")],
+            ["tab_id", "sub_col_id", "obj_col_id", "property"],
+        )
+        with pytest.raises(ValueError, match="Duplicate column pairs"):
+            cpa_prf(dup_sub, gt)
+
+    def test_cli_main_cpa(self, spark, tmp_path, capsys):
+        import json
+
+        from alligator_spark.eval import main
+
+        gt = tmp_path / "gt.csv"
+        gt.write_text(
+            "t1,0,1,http://www.wikidata.org/prop/direct/P17\n"
+            "t1,0,2,http://www.wikidata.org/prop/direct/P31\n"
+        )
+        pred = tmp_path / "pred.csv"
+        pred.write_text("t1,0,1,P17\nt1,0,2,P99\n")
+        assert main(["--task", "cpa", "--pred", str(pred), "--gt", str(gt)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["correct"] == 1 and out["annotated"] == 2
+        assert out["precision"] == pytest.approx(0.5)
+
+
+class TestCtaCliIriPrefix:
+    def test_bare_qid_scores_against_iri_gt(self, spark, tmp_path, capsys):
+        """ADVICE r4 (medium): the CTA CLI must prepend the entity/ IRI
+        prefix to bare annotations (cta_wd.py:62-63) — a bare-QID
+        submission scores 1.0 against IRI ground truth."""
+        import json
+
+        from alligator_spark.eval import main
+
+        gt = tmp_path / "gt.csv"
+        gt.write_text("t1,0,http://www.wikidata.org/entity/Q5\n")
+        pred = tmp_path / "pred.csv"
+        pred.write_text("t1,0,Q5\n")
+        assert main(["--task", "cta", "--pred", str(pred), "--gt", str(gt)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["f1"] == pytest.approx(1.0)
+        # opt-out restores raw comparison -> 0
+        assert main(
+            ["--task", "cta", "--pred", str(pred), "--gt", str(gt),
+             "--no-iri-prefix"]
+        ) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["f1"] == 0.0
+
+
 class TestPipelineCtaCpa:
     def test_pipeline_emits_cta_cpa(self, spark, smoke_docs):
         from alligator_spark.plans.pipeline import run_linkage

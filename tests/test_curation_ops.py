@@ -257,6 +257,27 @@ class TestEmbeddingOps:
         r = ann_recall(ann, exact)
         assert r >= 0.9, r
 
+    def test_ivf_centroid_ceiling_warns(self, spark):
+        """VERDICT r4 #6: n_centroids beyond the supported flat-codebook
+        ceiling must warn (UDF-closure matrix + per-round means collect
+        grow linearly with it)."""
+        import warnings
+
+        from alligator_spark.operators.similarity_search import (
+            IVF_MAX_CENTROIDS,
+            ivf_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+        )
+        q = emb.filter("vec_id = 0")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ivf_topk(emb, q, k=1, n_centroids=IVF_MAX_CENTROIDS + 1,
+                     nprobe=1, kmeans_iters=1).collect()
+        assert any("ceiling" in str(x.message) for x in w)
+
     def test_ivf_256_centroids_no_corpus_collect(self, spark, monkeypatch):
         """sqrt(N)-scale centroid count with DISTRIBUTED Lloyd rounds:
         recall holds at n_centroids=256 over 10k vectors, and nothing

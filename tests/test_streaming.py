@@ -202,6 +202,58 @@ class TestStreamingCaps:
         q.awaitTermination(120)
         assert spark.table("hot_sink").count() == 0
 
+    def test_hot_key_only_pair_recovered_by_batch_pass(self, spark, tmp_path):
+        """Staleness SLA (module docstring): a pair reachable ONLY via a
+        dropped hot key is invisible to the stream, and is recovered by
+        the periodic batch pass whose accepted edges flow through
+        reconcile_edges — worst-case staleness = batch cadence."""
+        from alligator_spark.plans.pipeline import run_linkage
+        from alligator_spark.streaming.ingest import (
+            corpus_index,
+            reconcile_edges,
+            streaming_link,
+        )
+
+        lit = "shared industrial catalog context entry"
+        # every corpus mention is exactly the hot token -> BOTH its keys
+        # (ts: and tk:) exceed max_block and are dropped from the index
+        corpus_rows = [_doc(f"h{i}", "hotword", lit) for i in range(5)]
+        corpus = spark.createDataFrame(corpus_rows, SPANS_DDL)
+        idx = corpus_index(corpus, max_block=4).localCheckpoint(eager=True)
+        assert idx.count() == 0  # the pair is unreachable on the stream
+
+        src = str(tmp_path / "hotonly")
+        arrival = spark.createDataFrame([_doc("s1", "hotword", lit)], SPANS_DDL)
+        arrival.write.parquet(src)
+        edges = streaming_link(spark.readStream.schema(SPANS_DDL).parquet(src), idx)
+        q = (
+            edges.writeStream.format("memory")
+            .queryName("hotonly_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        stream_edges = spark.table("hotonly_sink")
+        assert stream_edges.count() == 0  # stream-blind, as documented
+
+        # the periodic batch pass: full pipeline (salted hot blocks) over
+        # corpus + arrivals; its accepted edges join the edge sink
+        out = run_linkage(spark, corpus.unionByName(arrival))
+        batch_edges = out["final_edges"].filter("accepted").select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("cand_id"),
+            "score",
+        )
+        sink = stream_edges.select("doc_id", "cand_id", "score").unionByName(
+            batch_edges
+        )
+        rec = reconcile_edges(sink)
+        s1_edges = rec.filter(
+            "accepted AND (doc_a = 's1' OR doc_b = 's1')"
+        ).count()
+        assert s1_edges >= 1  # recovered after one batch period
+
     def test_event_ts_stream_dedups_within_watermark(self, spark, tmp_path):
         from datetime import datetime
 
