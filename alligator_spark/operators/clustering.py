@@ -16,20 +16,22 @@ hash joins + partial aggregations — no collect_list, so a giant star
 Converges in O(log^2 n) rounds; our clusters are near-cliques so it
 typically converges in 2-3. Driver-side iteration is the one thing
 Catalyst cannot express (SURVEY §4), so the loop is engineered for
-minimum serial driver cost: rounds are fused in PAIRS into a single
-Spark job — a lazy localCheckpoint marks the round-2k output, and the
-convergence fingerprint aggregation is the action that materializes it
-(one job computes two star rounds, persists the result, truncates the
-logical plan, and returns the fingerprint). The old shape (eager
-checkpoint + separate fingerprint collect, every round) paid 2 driver
-jobs per round; this pays 1 per 2 rounds, which matters because CC's
-driver loop is pure serial time under the north rule's N->4N scaling
-gate (Amdahl: fixed cost F does not shrink with executors).
+minimum serial driver cost (CC's driver loop is pure serial time under
+the north rule's N->4N scaling gate — Amdahl: fixed cost F does not
+shrink with executors):
 
-Convergence check across a 2-round stride is sound: large-star /
-small-star strictly decrease a potential function unless at the fixed
-point (Kiveris et al. Thm 1-2), so edge-set equality two rounds apart
-can only happen AT the fixed point — oscillation is impossible.
+* each large+small round is ONE ``spark.sql`` statement (one analyzer
+  pass; ~15 chained DataFrame calls cost ~15 eager analyzer passes each
+  re-walking the round's self-join-duplicated tree — measured ~2.4 s of
+  pure driver time per double-round, vs ~0.15 s fused);
+* rounds are fused in PAIRS into a single Spark job — a lazy
+  localCheckpoint marks the round-2k output and the convergence probe
+  is the action that materializes it (1 driver job per 2 rounds);
+* convergence is detected STRUCTURALLY (``_CONVERGED_SQL``: the edge
+  set is a min-rooted star forest — provably the iteration's fixed
+  point) instead of by fingerprint equality across a 2-round stride,
+  which needed one extra confirmation double-round (~2 s of planning +
+  checkpoint driver time) after the answer was already in hand.
 """
 
 from __future__ import annotations
@@ -49,6 +51,57 @@ from pyspark.sql import functions as F
 # whole node table through the driver. Both join sides are already
 # hash-partitioned on `u` by the groupBy, so the pinned shuffle join
 # reuses those exchanges.
+
+
+# One large-star + small-star round as a SINGLE SQL statement. Building
+# the same dataflow with ~15 chained DataFrame calls costs ~15 eager
+# analyzer passes per round, each re-walking the round's self-join-
+# duplicated tree — measured r5: ~2.4 s of pure DRIVER time per fused
+# double-round at ANY data size (the Spark jobs themselves were 0.3 s).
+# One spark.sql call = one analyzer pass; the SHUFFLE_HASH hints carry
+# the same corpus-side no-broadcast policy as the DataFrame version
+# (verified: 0 BroadcastHashJoin in the executed plan). `{e}` is a
+# DataFrame template argument (PySpark 4), so no temp-view bookkeeping.
+_ROUND_SQL = """
+WITH bidir AS (
+  SELECT src AS u, dst AS v FROM {e}
+  UNION ALL
+  SELECT dst AS u, src AS v FROM {e}
+),
+lmins AS (
+  SELECT u, least(u, min(v)) AS m FROM bidir GROUP BY u
+),
+ls AS (
+  -- no DISTINCT here: duplicates (same (v,m) reached through two hubs,
+  -- common inside near-cliques) are absorbed by the next groupBy's
+  -- map-side combine and the final DISTINCT; deduping eagerly would
+  -- cost one extra full shuffle per round
+  SELECT /*+ SHUFFLE_HASH(m) */ b.v AS src, m.m AS dst
+  FROM bidir b JOIN lmins m ON b.u = m.u
+  WHERE b.v > b.u
+),
+oriented AS (
+  SELECT greatest(src, dst) AS u, least(src, dst) AS v FROM ls WHERE src <> dst
+),
+smins AS (
+  SELECT u, min(v) AS m FROM oriented GROUP BY u
+),
+attach AS (
+  SELECT /*+ SHUFFLE_HASH(s) */ o.v AS src, s.m AS dst
+  FROM oriented o JOIN smins s ON o.u = s.u
+  WHERE o.v <> s.m
+)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM attach
+  UNION ALL
+  SELECT u AS src, m AS dst FROM smins
+)
+"""
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """small_star(large_star(edges)) in one analyzer pass."""
+    return edges.sparkSession.sql(_ROUND_SQL, e=edges)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -88,6 +141,42 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Structural fixed-point probe. The alternating iteration has converged
+# exactly when the edge set is a star forest rooted at component minima,
+# which (given the rounds' dst<src output invariant) holds iff
+#   (a) every src appears exactly once (each child points to one root)
+#   (b) no node is both a src and a dst (roots are never children).
+# Sufficiency: under (a)+(b) large-star recomputes m = u for every root
+# and re-emits the same (child, root) edges, and small-star's per-child
+# min is the child's unique root — both maps are the identity, i.e. a
+# fixed point (Kiveris et al.'s fixed points are exactly the min-rooted
+# star forests). Necessity: a violated (a) or (b) is a chain or a
+# multi-root child, which the next double-round provably rewrites.
+# Checking this structurally saves the CONFIRMATION double-round a
+# fingerprint-equality stride needs (detect convergence at round 2k
+# instead of building+planning rounds 2k+1..2k+2 to observe no change)
+# — ~2 s of serial driver time per run at any data size.
+_CONVERGED_SQL = """
+WITH roles AS (
+  SELECT src AS node, 1 AS s, 0 AS d FROM {e}
+  UNION ALL
+  SELECT dst, 0, 1 FROM {e}
+),
+per AS (
+  SELECT node, sum(s) AS s, sum(d) AS d FROM roles GROUP BY node
+)
+SELECT count(*) AS n_nodes,
+       coalesce(sum(CASE WHEN s > 1 OR (s > 0 AND d > 0) THEN 1 ELSE 0 END), 0)
+         AS bad
+FROM per
+"""
+
+
+def _is_converged(edges: DataFrame) -> bool:
+    row = edges.sparkSession.sql(_CONVERGED_SQL, e=edges).collect()[0]
+    return int(row["bad"]) == 0
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,
@@ -108,24 +197,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev_fp = None
     rounds = jobs = 0
     while rounds < max_iter:
-        cur = _small_star(_large_star(cur))
+        cur = _star_round(cur)
         rounds += 1
         if rounds % 2 == 0 or rounds == max_iter:
-            # one action per 2 rounds: materialize + truncate + fingerprint
+            # one action per 2 rounds: materialize + truncate + probe the
+            # structural fixed point (star forest — no confirmation
+            # stride needed, see _CONVERGED_SQL)
             cur = cur.localCheckpoint(eager=False)
             t0 = time.monotonic()
-            fp = _fingerprint(cur)
+            done = _is_converged(cur)
             jobs += 1
             if stats is not None:
                 stats.setdefault("job_secs", []).append(
                     round(time.monotonic() - t0, 3)
                 )
-            if fp == prev_fp:
+            if done:
                 break
-            prev_fp = fp
     if stats is not None:
         stats["rounds"] = rounds
         stats["jobs"] = jobs

@@ -184,6 +184,34 @@ class TestClustering:
         assert comps["a"] != comps["x"]
         assert comps["z"] == "z"
 
+    def test_sql_round_equals_dataframe_stars(self, spark):
+        """The fused one-analyzer-pass SQL round must emit exactly the
+        edge set of _small_star(_large_star(...)) on an adversarial mix
+        of chains, cliques, stars and singletons-with-self-structure."""
+        import random
+
+        from alligator_spark.operators.clustering import (
+            _large_star,
+            _small_star,
+            _star_round,
+        )
+
+        rng = random.Random(11)
+        edges = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]  # chain
+        edges += [(f"k{a}", f"k{b}") for a in range(5) for b in range(a)]  # clique
+        edges += [("hub", f"leaf{i:02d}") for i in range(9)]  # star
+        edges += [
+            (f"r{rng.randrange(20):02d}", f"r{rng.randrange(20):02d}")
+            for _ in range(30)
+        ]  # random (includes self-loop-ish duplicates)
+        df = spark.createDataFrame(edges, ["src", "dst"]).filter("src <> dst")
+        expect = {
+            (r["src"], r["dst"])
+            for r in _small_star(_large_star(df)).collect()
+        }
+        got = {(r["src"], r["dst"]) for r in _star_round(df).collect()}
+        assert got == expect
+
     def test_long_chain(self, spark):
         from alligator_spark.operators.clustering import connected_components
 
