@@ -171,8 +171,24 @@ def global_key_freq(
     )
 
 
-def _keys_per_doc(doc_keys: DataFrame) -> DataFrame:
-    return doc_keys.groupBy("doc_id").agg(F.collect_set("key").alias("keys"))
+def _keys_per_doc(doc_keys: DataFrame, freq: DataFrame) -> DataFrame:
+    """(doc_id, kw): each doc's distinct keys with their global doc_count
+    attached as a key-sorted array<struct<key, cnt>>.
+
+    Attaching the frequency at DOC granularity (corpus x keys-per-doc
+    rows, once) instead of at exploded-pair granularity (pairs x
+    union-keys rows, per weighted_overlap call) removes the two largest
+    shuffles of the rerank stage: the old shape shuffled the exploded
+    pair-key table on `key` to meet the freq table and then shuffled it
+    back to regroup per pair — both at pairs x ~30 rows."""
+    kw = doc_keys.join(freq, "key", "left").select(
+        "doc_id",
+        F.struct(
+            F.col("key"),
+            F.coalesce("doc_count", F.lit(0)).cast("long").alias("cnt"),
+        ).alias("kc"),
+    )
+    return kw.groupBy("doc_id").agg(F.array_sort(F.collect_list("kc")).alias("kw"))
 
 
 def weighted_overlap(
@@ -189,59 +205,50 @@ def weighted_overlap(
     array<double> sorted desc]). Integer rarity weights (n_docs -
     doc_count; missing key -> n_docs) summed exactly, one final double
     division; when every union key is ubiquitous (union weight 0) the
-    overlap is neutral 0.5 — the rank-stage score must decide alone."""
+    overlap is neutral 0.5 — the rank-stage score must decide alone.
+
+    Plan shape: the global counts ride inside each doc's key array
+    (``_keys_per_doc``), so after the two pair-side joins the whole
+    computation is JVM array algebra (array_intersect/array_union over
+    (key, cnt) structs + an integer F.aggregate) — no explode, no
+    key-join shuffle, no regroup-by-pair shuffle. Struct equality makes
+    array_intersect/union key-set operations because a key's cnt is a
+    function of the key."""
     # shuffle-hash, never broadcast: the per-doc key-set table is the
-    # CORPUS (a broadcast build is serial driver time growing with it)
-    sides = _keys_per_doc(doc_keys).hint("shuffle_hash")
+    # CORPUS (a broadcast build is serial driver time growing with it).
+    # persist: both pair-side joins read this subtree, which now contains
+    # the freq aggregation — without caching it executes twice per call.
+    sides = _keys_per_doc(doc_keys, freq).persist().hint("shuffle_hash")
     enriched = (
         pairs.select("doc_a", "doc_b")
-        .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("keys").alias("ka")), "doc_a")
-        .join(sides.select(F.col("doc_id").alias("doc_b"), F.col("keys").alias("kb")), "doc_b")
-    )
-    # the explode amplifies each pair ~|keys| times, but partition COUNT
-    # was fixed by the (tiny, compressed) pre-explode shuffle — AQE
-    # coalesces it to a couple of tasks and the heavy stage serializes.
-    # Spread before exploding (same fix as the scoring battery).
-    sc = pairs.sparkSession.sparkContext
-    enriched = enriched.repartition(max(sc.defaultParallelism * 2, 8))
-    ex = enriched.select(
-        "doc_a",
-        "doc_b",
-        F.explode(F.array_union("ka", "kb")).alias("key"),
-        "ka",
-        "kb",
-    ).select(
-        "doc_a",
-        "doc_b",
-        "key",
-        F.array_contains("ka", F.col("key")).alias("in_a"),
-        F.array_contains("kb", F.col("key")).alias("in_b"),
-    )
-    j = (
-        # no forced broadcast: the token table grows with corpus vocabulary
-        # (min_docs pruning bounds by doc frequency, not vocab size), so at
-        # corpus scale it can exceed broadcast limits — AQE picks broadcast
-        # while it is small and a shuffle join once it is not
-        ex.join(freq, "key", "left")
+        .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("kw").alias("ka")), "doc_a")
+        .join(sides.select(F.col("doc_id").alias("doc_b"), F.col("kw").alias("kb")), "doc_b")
         .crossJoin(F.broadcast(n_docs_df))
-        .withColumn(
-            "rar", (F.col("n_docs") - F.coalesce("doc_count", F.lit(0))).cast("long")
-        )
     )
-    aggs = [
-        F.sum(F.when(F.col("in_a") & F.col("in_b"), F.col("rar")).otherwise(0)).alias(
-            "_shared"
-        ),
-        F.sum("rar").alias("_union"),
+    nd = F.col("n_docs")
+
+    def rar_sum(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (nd - x["cnt"]),
+        )
+
+    shared = rar_sum(F.array_intersect("ka", "kb"))
+    union_arr = F.array_union("ka", "kb")
+    cols = [
+        "doc_a",
+        "doc_b",
+        shared.alias("_shared"),
+        rar_sum(union_arr).alias("_union"),
     ]
     if cta_col is not None:
-        aggs.append(
+        cols.append(
             F.slice(
                 F.reverse(
                     F.array_sort(
-                        F.collect_list(
-                            F.coalesce("doc_count", F.lit(0)).cast("double")
-                            / F.col("n_docs")
+                        F.transform(
+                            union_arr, lambda x: x["cnt"].cast("double") / nd
                         )
                     )
                 ),
@@ -249,7 +256,7 @@ def weighted_overlap(
                 5,
             ).alias(cta_col)
         )
-    out = j.groupBy("doc_a", "doc_b").agg(*aggs)
+    out = enriched.select(*cols)
     out = out.withColumn(
         out_col,
         F.when(F.col("_union") <= 0, F.lit(0.5)).otherwise(
