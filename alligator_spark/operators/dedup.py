@@ -92,6 +92,12 @@ def _pairs_from_buckets(
     real scale each is a serial driver collect+build).
     """
     has_salt_key = "salt_key" in keyed.columns
+    # persist: the bucket table sits on pandas-UDF signature passes and
+    # is referenced by the stats aggregate, the self-join's two sides,
+    # the rep table and the content-star table — unpersisted, the
+    # signature computation re-executes per reference (the same
+    # duplicated-Python-pass bug fixed in score_pairs this round)
+    keyed = keyed.persist()
     sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
     stats = sizes.withColumn(
         "n_salts",
@@ -100,6 +106,7 @@ def _pairs_from_buckets(
             F.ceil(F.col("sz") / max_bucket).cast("int"),
         ).otherwise(F.lit(1)),
     )
+    stats = stats.persist()  # read by the bucket join, lineage, and caller
     keyed = (
         keyed.join(stats.hint("shuffle_hash"), "bucket_key")
         .filter(F.col("sz") > 1)
@@ -226,8 +233,21 @@ def minhash_lsh_dedup(
     """Near-dup clusters: MinHash band buckets -> exact 3-gram Jaccard
     verify >= threshold -> connected components.
 
-    Returns (id, component_id)."""
-    keyed = minhash_buckets(df, id_col, text_col, num_hashes, bands)
+    Returns (id, component_id).
+
+    At ``threshold >= 1.0`` the band buckets are skipped entirely: the
+    verify accepts exactly the equal-3-gram-set pairs, and the exact-set
+    bucket (below) already generates ALL of those candidates — band
+    buckets can only add pairs the verify rejects. On a corpus with
+    heavy boilerplate similarity the bands otherwise emit orders of
+    magnitude of doomed candidates (measured at the sf0.1 planted
+    corpus: 1.78M band candidates for 6,000 docs, every accepted edge
+    already covered by the exact-set buckets — 22 s -> ~4 s)."""
+    keyed = (
+        None
+        if threshold >= 1.0
+        else minhash_buckets(df, id_col, text_col, num_hashes, bands)
+    )
 
     # exact-gram-set fast path: one extra bucket per doc keyed by the md5
     # of its sorted distinct verify-gram hashes. Docs whose VERIFY gram
@@ -256,7 +276,7 @@ def minhash_lsh_dedup(
         # bucket key itself is the content salt prefix
         .withColumn("salt_key", F.col("bucket_key"))
     )
-    keyed = keyed.unionByName(es)
+    keyed = es if keyed is None else keyed.unionByName(es)
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
     texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))

@@ -315,7 +315,11 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
 
     Output: (doc_a, doc_b, block_key, features map, score).
     """
-    feats = featurize_sides(normalized)
+    # persist: BOTH side joins read this subtree and exchange-reuse does
+    # not fire across the differently-keyed joins (verified: 0
+    # ReusedExchange, the per-doc featurize pandas pass ran twice) — at
+    # 600k docs that is a duplicated full-corpus Python stage
+    feats = featurize_sides(normalized).persist()
 
     def side(suffix: str):
         alias = {"norm_mention": "mention"}
