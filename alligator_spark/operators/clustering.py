@@ -234,3 +234,69 @@ def connected_components(
             )
         )
     return comps
+
+
+def components_from_strong(
+    strong_comps: DataFrame,
+    accepted_edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Final components from precomputed strong-edge components plus the
+    full accepted edge set, without re-running CC over the whole graph.
+
+    The accept stage already computed components over the STRONG edges
+    (``scoring.strong_components`` — it needs them for the transitive
+    gap rule). Strong edges are the overwhelming majority of accepted
+    edges, so the final clustering only has to CONTRACT each accepted
+    edge into strong-component space (strong edges become self-loops and
+    vanish) and run CC on the residual graph — the handful of borderline
+    acceptances that bridge strong components. Composition of the two
+    min-rooted maps is itself min-rooted: every contracted node label is
+    the min doc_id of its strong component, so the residual CC's root is
+    the min doc_id of the merged component.
+
+    Cost: two map-side-combinable joins + CC over a near-empty edge set,
+    vs a full second CC over all accepted edges. Both map joins pin
+    shuffle_hash: ``strong_comps`` is corpus-scaled (never broadcast).
+    """
+    m_a = strong_comps.select(
+        F.col("doc_id").alias("doc_a"), F.col("component_id").alias("_ca")
+    )
+    m_b = strong_comps.select(
+        F.col("doc_id").alias("doc_b"), F.col("component_id").alias("_cb")
+    )
+    contracted = (
+        accepted_edges.select("doc_a", "doc_b")
+        .join(m_a.hint("shuffle_hash"), "doc_a", "left")
+        .join(m_b.hint("shuffle_hash"), "doc_b", "left")
+        .select(
+            F.coalesce("_ca", "doc_a").alias("doc_a"),
+            F.coalesce("_cb", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    residual = connected_components(contracted, stats=stats)
+    if all_nodes is None:
+        # every accepted endpoint (strong-comp members are a subset:
+        # strong edges are always accepted)
+        all_nodes = (
+            accepted_edges.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(accepted_edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+    base = (
+        all_nodes.select("doc_id")
+        .join(strong_comps.hint("shuffle_hash"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component_id", "doc_id").alias("c1"))
+    )
+    return (
+        base.join(
+            residual.select(
+                F.col("doc_id").alias("c1"), F.col("component_id").alias("c2")
+            ).hint("shuffle_hash"),
+            "c1",
+            "left",
+        )
+        .select("doc_id", F.coalesce("c2", "c1").alias("component_id"))
+    )

@@ -15,7 +15,11 @@ Edge acceptance follows the reference's match decision
 or >= 0.75 with gap >= 0.15 AND ratio >= 1.2 vs the runner-up — applied
 per (doc, side) over its candidate list, generalized to the pairwise
 setting: strong edges always accepted; borderline edges accepted only for
-the top-1 candidate of either endpoint under the gap/ratio rule.
+the top-1 candidate of either endpoint under the gap/ratio rule, where
+"runner-up" means the best candidate from a DIFFERENT strong component
+(same-cluster candidates corroborate the top-1, they don't compete — the
+transitive adaptation of the reference's pick-one-entity rule; see
+``accept_edges``).
 
 The whole feature battery runs in ONE Arrow-vectorized pandas UDF; the
 acceptance rule is a window function (JVM-side).
@@ -433,28 +437,96 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
     return scored
 
 
-def accept_edges(scored: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
-    """Apply the reference match decision per endpoint candidate list."""
+def strong_components(scored: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
+    """Connected components over the STRONG edges only (score >= strong).
+
+    Used twice by the pipeline: (1) inside :func:`accept_edges`, where the
+    borderline gap/ratio rule ignores runner-up candidates that sit in the
+    same strong component as the top-1 (they corroborate the same cluster
+    rather than compete with it); (2) as the base map for the final
+    clustering, which only needs to contract the few borderline-accepted
+    edges on top (``clustering.components_from_strong``).
+    Returns ``(doc_id, component_id)`` for docs incident to a strong edge.
+    """
+    from alligator_spark.operators.clustering import connected_components
+
+    cfg = cfg or ScoringConfig()
+    return connected_components(
+        scored.filter(F.col("score") >= cfg.strong).select("doc_a", "doc_b")
+    )
+
+
+def accept_edges(
+    scored: DataFrame,
+    cfg: ScoringConfig | None = None,
+    strong_comps: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the reference match decision per endpoint candidate list.
+
+    Transitive adaptation of the runner-up rule
+    (``backend/app/endpoints/alligator_api.py:63-105``): the reference
+    picks ONE entity per mention, so any runner-up is a competing
+    alternative. In a clustering setting, a runner-up that is already in
+    the same strong component as the top-1 candidate names the SAME
+    cluster — ambiguity between two members of one cluster is harmless —
+    so the gap/ratio test runs against the best candidate from a
+    DIFFERENT strong component. ``strong_comps`` may be passed in
+    (precomputed by the pipeline, reused for the final clustering);
+    otherwise it is derived here.
+    """
     cfg = cfg or ScoringConfig()
 
     # candidate list of each endpoint: the edge seen from both sides
-    from_a = scored.select(F.col("doc_a").alias("ep"), "doc_a", "doc_b", "score")
-    from_b = scored.select(F.col("doc_b").alias("ep"), "doc_a", "doc_b", "score")
+    from_a = scored.select(
+        F.col("doc_a").alias("ep"), F.col("doc_b").alias("other"),
+        "doc_a", "doc_b", "score",
+    )
+    from_b = scored.select(
+        F.col("doc_b").alias("ep"), F.col("doc_a").alias("other"),
+        "doc_a", "doc_b", "score",
+    )
     sides = from_a.unionByName(from_b)
 
+    if strong_comps is None:
+        strong_comps = strong_components(scored, cfg)
+    # corpus-scale map join: never broadcast (grows with the corpus)
+    comp = strong_comps.select(
+        F.col("doc_id").alias("other"), F.col("component_id").alias("_oc")
+    )
+    sides = (
+        sides.join(comp.hint("shuffle_hash"), "other", "left")
+        .withColumn("other_comp", F.coalesce("_oc", "other"))
+        .drop("_oc", "other")
+    )
+
     w = Window.partitionBy("ep").orderBy(F.desc("score"), "doc_a", "doc_b")
-    ranked = sides.withColumn("rk", F.row_number().over(w)).withColumn(
-        "next_score", F.lead("score").over(w)
+    wep = Window.partitionBy("ep")
+    # both windows share the ep partitioning: one shuffle, three Window ops
+    ranked = (
+        sides.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "_top_comp",
+            F.max(F.when(F.col("rk") == 1, F.col("other_comp"))).over(wep),
+        )
+        .withColumn(
+            "rival_score",
+            F.max(
+                F.when(
+                    (F.col("rk") > 1) & (F.col("other_comp") != F.col("_top_comp")),
+                    F.col("score"),
+                )
+            ).over(wep),
+        )
     )
     strong = F.col("score") >= cfg.strong
     borderline = (
         (F.col("rk") == 1)
         & (F.col("score") >= cfg.min_score)
         & (
-            F.col("next_score").isNull()
+            F.col("rival_score").isNull()
             | (
-                ((F.col("score") - F.col("next_score")) >= cfg.gap)
-                & ((F.col("score") / F.greatest(F.col("next_score"), F.lit(1e-6))) >= cfg.ratio)
+                ((F.col("score") - F.col("rival_score")) >= cfg.gap)
+                & ((F.col("score") / F.greatest(F.col("rival_score"), F.lit(1e-6))) >= cfg.ratio)
             )
         )
     )

@@ -25,7 +25,7 @@ from alligator_spark.operators.blocking import (
     fuzzy_rescue_pairs,
     minhash_signatures,
 )
-from alligator_spark.operators.clustering import connected_components
+from alligator_spark.operators.clustering import components_from_strong
 from alligator_spark.operators.cta import cpa_winners, cta_winners
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.output import cea_topk
@@ -36,7 +36,12 @@ from alligator_spark.operators.pairs import (
     exact_mention_pairs,
 )
 from alligator_spark.operators.rerank import RerankConfig, rerank_edges
-from alligator_spark.operators.scoring import ScoringConfig, accept_edges, score_pairs
+from alligator_spark.operators.scoring import (
+    ScoringConfig,
+    accept_edges,
+    score_pairs,
+    strong_components,
+)
 from alligator_spark.sources.tables import CheckpointManager
 
 
@@ -60,6 +65,7 @@ STAGES = [
     "candidate_edges",
     "scored_edges",  # ALWAYS the raw rank-stage output (fixed semantics)
     "reranked_edges",  # rerank output pre-accept (only when cfg.rerank.enabled)
+    "strong_components",  # CC over strong edges (feeds accept + final CC)
     "accepted_edges",  # match decision applied (both paths)
     "components",
 ]
@@ -128,10 +134,20 @@ def run_linkage(
     if cfg.rerank.enabled:
         # M3: global-frequency rerank between rank and the match decision
         ranked = timed("rerank_ckpt", rerank_edges(ranked, normalized, cfg.rerank))
-    scored = accept_edges(ranked, cfg.scoring)
+    # Strong-edge components are computed ONCE and reused twice: the
+    # accept stage's transitive gap rule (same-cluster runner-ups don't
+    # compete) and the final clustering, which only contracts the few
+    # borderline-accepted edges on top — total CC cost stays ~flat vs
+    # the old single full-graph CC.
+    t_cc = _time.monotonic()
+    sc = strong_components(ranked, cfg.scoring).localCheckpoint(eager=True)
+    if stage_times is not None:
+        stage_times["strong_cc"] = round(_time.monotonic() - t_cc, 2)
+    scored = accept_edges(ranked, cfg.scoring, strong_comps=sc)
     cc_stats: dict | None = {} if stage_times is not None else None
     t_cc = _time.monotonic()
-    components = connected_components(
+    components = components_from_strong(
+        sc,
         scored.filter("accepted").select("doc_a", "doc_b"),
         all_nodes=normalized.select("doc_id"),
         stats=cc_stats,
@@ -212,10 +228,17 @@ def run_pipeline(
         ranked = stage(
             "reranked_edges", lambda: rerank_edges(ranked, normalized, cfg.rerank)
         )
-    scored = stage("accepted_edges", lambda: accept_edges(ranked, cfg.scoring))
+    sc = stage(
+        "strong_components", lambda: strong_components(ranked, cfg.scoring)
+    )
+    scored = stage(
+        "accepted_edges",
+        lambda: accept_edges(ranked, cfg.scoring, strong_comps=sc),
+    )
     components = stage(
         "components",
-        lambda: connected_components(
+        lambda: components_from_strong(
+            sc,
             scored.filter("accepted").select("doc_a", "doc_b"),
             all_nodes=normalized.select("doc_id"),
         ),
