@@ -52,6 +52,22 @@ class BlockingConfig:
     prefix_tokens: int | None = None
 
 
+def minhash_sig_udf(cfg: BlockingConfig | None = None):
+    """The MinHash-signature column function (Arrow pandas UDF) for a
+    given config. Exposed separately so the streaming path can add the
+    signature as an inline column on a streaming frame (a stateless
+    per-micro-batch projection — a join back to a separate signatures
+    frame would be a stream-stream join)."""
+    cfg = cfg or BlockingConfig()
+    nh, seed = cfg.minhash_hashes, cfg.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(s: pd.Series) -> pd.Series:
+        return pd.Series(minhash_sig_arrays(s.tolist(), nh, seed))
+
+    return sig
+
+
 def minhash_signatures(
     normalized: DataFrame, cfg: BlockingConfig | None = None
 ) -> DataFrame:
@@ -61,13 +77,7 @@ def minhash_signatures(
     (fuzzy_rescue_pairs) re-band this column JVM-side — the reference's
     fuzzy=True retry re-queries the index, it does not recompute the
     text-side hashes (alligator/processors.py:169-198)."""
-    cfg = cfg or BlockingConfig()
-    nh, seed = cfg.minhash_hashes, cfg.minhash_seed
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(s: pd.Series) -> pd.Series:
-        return pd.Series(minhash_sig_arrays(s.tolist(), nh, seed))
-
+    sig = minhash_sig_udf(cfg)
     return normalized.select("doc_id", sig(F.col("norm_mention")).alias("sig"))
 
 

@@ -22,7 +22,11 @@ Streaming-specific semantics (documented deviations from the batch path):
   accumulated edge sink.
 * The pairwise battery here is the JVM half only (token/3-gram overlap
   hash arrays precomputed on the static side, computed per micro-batch
-  on the stream side) — no Python workers in the micro-batch hot path.
+  on the stream side). The ONLY Python in the micro-batch hot path is
+  the MinHash signature UDF (one Arrow-vectorized batch per trigger,
+  bounded by the arrival rate, never corpus-sized); pass
+  ``minhash=False`` to both ``corpus_index`` and ``streaming_link`` for
+  a strictly JVM-only plan (at the cost of fuzzy stream recall).
 * Hot/degenerate corpus block keys are pre-pruned when building
   ``corpus_index`` (the static analogue of the batch drop_block_size
   cap): without it one ubiquitous token fans every arriving doc out to
@@ -37,17 +41,23 @@ may be re-emitted (the documented streaming-dedup trade).
 RECALL STALENESS SLA. The stream path trades recall for bounded
 per-arrival cost in exactly two places: (a) a pair reachable ONLY
 through a block key that ``corpus_index`` dropped as hot (> max_block
-corpus docs) produces NO candidate row in any micro-batch; (b) a pair
-reachable only through MinHash fuzzy banding is likewise invisible
-(banding is batch-only). Both are recovered by the periodic batch pass
-— the full pipeline (salted hot blocks + fuzzy banding) over
-corpus + arrivals, whose accepted edges are unioned into the edge sink
-and re-decided by ``reconcile_edges``. The worst-case staleness of a
-hot-key-only or fuzzy-only match therefore EQUALS the batch cadence:
-an operator who needs such matches visible within T must schedule the
-batch pass at period <= T. Strong stream matches are visible within
-one micro-batch trigger; borderline (gap+ratio) acceptances within one
-reconcile period. Size the cadence from these three tiers.
+corpus docs, including oversize MinHash band buckets) produces NO
+candidate row in any micro-batch; (b) a pair reachable only through
+the LOOSE fuzzy re-banding (the R4 rescue's wider banding of the same
+signatures — ``blocking.fuzzy_rescue_pairs``) is likewise invisible:
+the stream computes the STRICT bands (same hashes/bands/seed as the
+batch ``block_keys``), so typo pairs that collide on a strict band are
+candidates within one micro-batch, but the looser rescue banding needs
+the batch pass's "which docs ended up lonely" global view. Both (a)
+and (b) are recovered by the periodic batch pass — the full pipeline
+(salted hot blocks + loose fuzzy banding) over corpus + arrivals,
+whose accepted edges are unioned into the edge sink and re-decided by
+``reconcile_edges``. The worst-case staleness of such a match EQUALS
+the batch cadence: an operator who needs those matches visible within
+T must schedule the batch pass at period <= T. Strong stream matches
+(including strict-band fuzzy hits) are visible within one micro-batch
+trigger; borderline (gap+ratio) acceptances within one reconcile
+period. Size the cadence from these three tiers.
 """
 
 from __future__ import annotations
@@ -56,18 +66,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alligator_spark.functions.textnorm import clean_str_col, token_sort_key_col
+from alligator_spark.operators.blocking import (
+    BlockingConfig,
+    band_key_cols,
+    minhash_sig_udf,
+)
 from alligator_spark.operators.normalize import normalize_docs
 from alligator_spark.operators.scoring import MATCH_STRONG_SCORE
 
 
-def stream_block_keys(stream_docs: DataFrame) -> DataFrame:
+def _resolve_minhash(minhash) -> BlockingConfig | None:
+    """True -> default BlockingConfig; False/None -> banding off."""
+    if minhash is True:
+        return BlockingConfig()
+    return minhash or None
+
+
+def stream_block_keys(
+    stream_docs: DataFrame, minhash: BlockingConfig | bool = True
+) -> DataFrame:
     """Streaming normalize + blocking keys: one row per (doc, key).
 
-    Pure column expressions (clean_str + token-sort + per-token keys), so
-    the plan is a stateless projection — Catalyst runs it per micro-batch
-    with no state store. MinHash banding is deliberately absent on the
-    stream side: its value is fuzzy recall over the FULL corpus, which
-    the periodic batch pass owns."""
+    clean_str + token-sort + per-token keys are pure column expressions;
+    the MinHash band family adds one Arrow pandas-UDF signature pass per
+    micro-batch (bounded by the arrival rate) whose STRICT bands — same
+    hashes/bands/seed as the batch ``block_keys`` — are derived JVM-side.
+    The whole plan stays a stateless projection: Catalyst runs it per
+    micro-batch with no state store. The LOOSE fuzzy re-banding stays
+    batch-only (it needs the global lonely-doc view; see module SLA).
+    ``minhash`` must agree with the config the corpus index was built
+    with, or band keys will never collide."""
+    cfg = _resolve_minhash(minhash)
     extra = ("event_ts",) if "event_ts" in stream_docs.columns else ()
     normalized = normalize_docs(stream_docs, carry=extra)
     base = normalized.select("doc_id", "norm_mention", *extra)
@@ -91,10 +120,32 @@ def stream_block_keys(stream_docs: DataFrame) -> DataFrame:
             F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"),
         )
     )
-    return full.unionByName(tok)
+    out = full.unionByName(tok)
+    if cfg is not None:
+        sig = minhash_sig_udf(cfg)
+        mh = (
+            base.filter(F.length("norm_mention") > 0)
+            .withColumn("sig", sig(F.col("norm_mention")))
+            .select(
+                *carry,
+                F.explode(
+                    F.array(
+                        *band_key_cols(
+                            "sig", cfg.minhash_hashes, cfg.minhash_bands, "mh"
+                        )
+                    )
+                ).alias("block_key"),
+            )
+        )
+        out = out.unionByName(mh)
+    return out
 
 
-def corpus_index(static_docs: DataFrame, max_block: int = 1024) -> DataFrame:
+def corpus_index(
+    static_docs: DataFrame,
+    max_block: int = 1024,
+    minhash: BlockingConfig | bool = True,
+) -> DataFrame:
     """Static side of the stream-static join: (block_key, cand_id,
     cand_mention). Built once (persist/write it); micro-batches join
     against it by key without rescanning the corpus.
@@ -105,7 +156,14 @@ def corpus_index(static_docs: DataFrame, max_block: int = 1024) -> DataFrame:
     otherwise fan every arriving doc out to its full block in the
     stream-static join — per-arrival cost must stay bounded. Recall for
     docs only reachable through a dropped hot key falls to the periodic
-    batch pass, which handles hot blocks with salting."""
+    batch pass, which handles hot blocks with salting.
+
+    ``minhash`` adds the strict MinHash band keys (same family the batch
+    ``block_keys`` uses) so typo'd arrivals with no shared token still
+    find their corpus twin in one micro-batch; it must match the config
+    passed to ``stream_block_keys``/``streaming_link``. Oversize band
+    buckets are subject to the same ``max_block`` cap."""
+    cfg = _resolve_minhash(minhash)
     normalized = normalize_docs(static_docs)
     base = normalized.select(
         F.col("doc_id").alias("cand_id"),
@@ -128,6 +186,24 @@ def corpus_index(static_docs: DataFrame, max_block: int = 1024) -> DataFrame:
         F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"),
     )
     idx = full.unionByName(tok)
+    if cfg is not None:
+        sig = minhash_sig_udf(cfg)
+        mh = (
+            base.filter(F.length("cand_mention") > 0)
+            .withColumn("sig", sig(F.col("cand_mention")))
+            .select(
+                "cand_id",
+                "cand_mention",
+                F.explode(
+                    F.array(
+                        *band_key_cols(
+                            "sig", cfg.minhash_hashes, cfg.minhash_bands, "mh"
+                        )
+                    )
+                ).alias("block_key"),
+            )
+        )
+        idx = idx.unionByName(mh)
     if max_block is not None:
         sizes = idx.groupBy("block_key").agg(F.count("*").alias("_bs"))
         idx = (
@@ -161,11 +237,14 @@ def streaming_link(
     corpus_idx: DataFrame,
     strong: float = MATCH_STRONG_SCORE,
     watermark: str = "10 minutes",
+    minhash: BlockingConfig | bool = True,
 ) -> DataFrame:
     """Arriving docs -> (doc_id, cand_id, score[, event_ts], accepted)
     edge stream.
 
-    Stream-static equi-join on block_key, then a JVM-only pairwise score
+    Stream-static equi-join on block_key (token, token-sort and strict
+    MinHash band families — ``minhash`` must match the config
+    ``corpus_idx`` was built with), then a JVM-only pairwise score
     (token jaccard + 3-gram jaccard of the mentions, equal weight through
     the batch scorer's logistic). ``accepted`` = strong-only (see module
     docstring); every candidate row is emitted either way so
@@ -179,7 +258,7 @@ def streaming_link(
     event-time column NO stateful dedup is attempted — equal-score
     duplicates may pass through and are collapsed by ``reconcile_edges``
     (unbounded dedup state in a continuous stream is the worse trade)."""
-    keyed = stream_block_keys(stream_docs)
+    keyed = stream_block_keys(stream_docs, minhash=minhash)
     has_ts = "event_ts" in keyed.columns
     cand = keyed.join(corpus_idx, "block_key").filter(
         F.col("doc_id") != F.col("cand_id")

@@ -116,6 +116,50 @@ class TestStreamingLink:
         assert ("s9", "c2") in acc
 
 
+class TestStreamMinhashBands:
+    def test_band_key_catches_typo_with_no_shared_token(
+        self, spark, tmp_path
+    ):
+        # "bramblewik" vs corpus "bramblewick": no shared token, different
+        # token-sort key — only the strict MinHash band family (band 0
+        # collides deterministically at the default 16x4/seed-7 config)
+        # can produce the candidate row. The edge must be EMITTED within
+        # the micro-batch (acceptance tiering is separate; the batch pass
+        # owns the final decision for weak JVM-score pairs).
+        from alligator_spark.streaming.ingest import corpus_index, streaming_link
+
+        corpus = spark.createDataFrame([_doc("c4", "bramblewick")], SPANS_DDL)
+        src = str(tmp_path / "typo_arrivals")
+        spark.createDataFrame([_doc("s4", "bramblewik")], SPANS_DDL).write.parquet(src)
+
+        def run(idx, name, minhash):
+            q = (
+                streaming_link(
+                    spark.readStream.schema(SPANS_DDL).parquet(src),
+                    idx,
+                    minhash=minhash,
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r["doc_id"], r["cand_id"]) for r in spark.table(name).collect()
+            }
+
+        idx_on = corpus_index(corpus).localCheckpoint(eager=True)
+        assert ("s4", "c4") in run(idx_on, "mh_sink_on", True)
+
+        # with banding off on both sides the pair is invisible to the
+        # stream (falls to the batch pass per the module SLA) — proves
+        # the band family is the load-bearing key here
+        idx_off = corpus_index(corpus, minhash=False).localCheckpoint(eager=True)
+        assert ("s4", "c4") not in run(idx_off, "mh_sink_off", False)
+
+
 class TestReconciliation:
     def test_borderline_rejected_on_stream_accepted_after_reconcile(
         self, spark, static_corpus, tmp_path
