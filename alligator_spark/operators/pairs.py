@@ -39,18 +39,34 @@ class PairConfig:
     # 4x skew slack. est_pairs comes from the block-stats aggregate the
     # lineage already needs, so sizing costs no extra corpus scan.
     target_pairs_per_task: int = 50_000
-    # reference parity: candidate_retrieval_limit=16 (alligator/
-    # config.py:157) — each mention retrieves at most this many
-    # candidates. Without it candidate volume grows with shared-vocabulary
-    # density (measured 30 pairs/doc at 600k synthetic docs), and the
-    # scoring join's shuffle grows with it; the cap makes scoring cost
-    # O(docs x limit) — linear in the corpus. A pair survives if EITHER
-    # endpoint ranks it (the reference's retrieval is per-mention too);
-    # ranking prefers the SMALLEST shared block (most specific evidence),
-    # so a gold duplicate's token-sort block always outranks junk shared
-    # single-token blocks. Exact-duplicate star edges are unioned
-    # downstream and are never capped. None disables.
-    candidate_limit: int | None = 16
+    # reference parity: candidate_retrieval_limit — each mention
+    # retrieves at most this many candidates (alligator/config.py:157
+    # defaults 16; the examples use 10-50). Without a cap candidate
+    # volume grows with shared-vocabulary density, and the scoring
+    # join's shuffle grows with it; the cap makes scoring cost
+    # O(docs x limit) — linear in the corpus with a small constant
+    # (the block-size caps above already bound the worst case at
+    # ~n_keys x max_block_size per doc, but that constant is ~500).
+    # A pair survives if EITHER endpoint ranks it (the reference's
+    # retrieval is per-mention too).
+    # Ranking: when MinHash signatures are passed in, by estimated
+    # Jaccard (signature-position agreement) — the reference's index
+    # returns top-K by fuzzy-match RELEVANCE (alligator/fetchers.py:
+    # 90-113), so the cap must keep the most-similar candidates, not an
+    # arbitrary subset; the block-size-then-id ordering used as the
+    # no-signature fallback squeezed true typo'd duplicates below junk
+    # size-2 band-collision pairs once the corpus grew past ~10^5 docs
+    # (measured at 120k docs / 20k entities: limit 16 + block-size
+    # order = 128 never-paired gold pairs; 16 + relevance = 48;
+    # 32 + relevance = 6; uncapped = 0 at only 17 candidate edges/doc).
+    # Default 32: token-truncated variants in ambiguous neighborhoods
+    # (other entities legitimately containing the variant's whole name)
+    # need the scorer's literal evidence to win, so the retrieval tier
+    # must let them through. Ties break by smallest shared block, then
+    # id. Exact-duplicate star edges are unioned downstream and are
+    # never capped. None disables (volume then bounded by the block
+    # caps alone).
+    candidate_limit: int | None = 32
 
 
 def exact_mention_pairs(normalized: DataFrame) -> DataFrame:
@@ -81,12 +97,18 @@ def exact_mention_pairs(normalized: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    keys: DataFrame, cfg: PairConfig | None = None
+    keys: DataFrame,
+    cfg: PairConfig | None = None,
+    sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """keys(doc_id, block_key, key_kind) -> (pairs, block_stats).
 
     pairs: (doc_a, doc_b, block_key)  with doc_a < doc_b, deduped.
     block_stats: per-block size/salt bookkeeping for lineage.
+    sigs: optional (doc_id, sig) MinHash signatures (the pipeline's
+    shared ``minhash_signatures`` pass) — when present, the per-endpoint
+    candidate cap ranks by estimated Jaccard instead of block size (see
+    ``PairConfig.candidate_limit``).
     """
     cfg = cfg or PairConfig()
 
@@ -173,18 +195,44 @@ def candidate_pairs(
         F.col("_sel.block_size").alias("block_size"),
     )
     if cfg.candidate_limit:
-        # per-endpoint top-K by block specificity (narrow rows — this
-        # window is what keeps the WIDE scoring shuffle linear in docs)
-        sides = pairs.select(
+        # per-endpoint top-K over narrow rows — this window is what keeps
+        # the WIDE scoring shuffle linear in docs. Relevance = estimated
+        # Jaccard from the shared MinHash pass (two shuffle_hash map
+        # joins of 16-long arrays onto ~30 pairs/doc — sigs is
+        # corpus-scaled, never broadcast); falls back to block
+        # specificity when no signatures are supplied.
+        ranked_pairs = pairs
+        if sigs is not None:
+            sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+            sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+            ranked_pairs = (
+                pairs.join(sa.hint("shuffle_hash"), "doc_a")
+                .join(sb.hint("shuffle_hash"), "doc_b")
+                .withColumn(
+                    "_sim",
+                    F.size(
+                        F.filter(
+                            F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                            lambda v: v,
+                        )
+                    ),
+                )
+                .drop("_sa", "_sb")
+            )
+        else:
+            ranked_pairs = pairs.withColumn("_sim", F.lit(0))
+        sides = ranked_pairs.select(
             F.col("doc_a").alias("ep"), F.col("doc_b").alias("other"),
-            "block_size",
+            "block_size", "_sim",
         ).unionAll(
-            pairs.select(
+            ranked_pairs.select(
                 F.col("doc_b").alias("ep"), F.col("doc_a").alias("other"),
-                "block_size",
+                "block_size", "_sim",
             )
         )
-        w = Window.partitionBy("ep").orderBy("block_size", "other")
+        w = Window.partitionBy("ep").orderBy(
+            F.desc("_sim"), "block_size", "other"
+        )
         keep = (
             sides.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cfg.candidate_limit)

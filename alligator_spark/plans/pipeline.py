@@ -105,7 +105,7 @@ def run_linkage(
     # one MinHash pass, shared by strict blocking AND the fuzzy retry
     sigs = minhash_signatures(normalized, cfg.blocking).persist()
     keys = block_keys(normalized, cfg.blocking, sigs=sigs)
-    pairs, _ = candidate_pairs(keys, cfg.pairs)
+    pairs, _ = candidate_pairs(keys, cfg.pairs, sigs=sigs)
     # Stage boundaries use localCheckpoint (materialize + TRUNCATE the
     # logical plan), not bare persist: the rerank/accept stages reference
     # their input subtree many times, and with lazy persists the logical
@@ -203,7 +203,7 @@ def run_pipeline(
     keys = stage("block_keys", lambda: block_keys(normalized, cfg.blocking, sigs=sigs))
 
     def build_pairs():
-        base, _ = candidate_pairs(keys, cfg.pairs)
+        base, _ = candidate_pairs(keys, cfg.pairs, sigs=sigs)
         # materialize once: the exact-star left_anti probe and the union
         # (and the fuzzy rescue probe) all re-read this subtree
         base = base.localCheckpoint(eager=True)

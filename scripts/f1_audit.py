@@ -43,7 +43,9 @@ def main() -> None:
     print(m)
 
     if m["fn"] or m["fp"]:
-        # name the offending pairs for doc-by-doc diagnosis
+        # classify the misses against the pipeline's own stage tables:
+        # was the pair ever a candidate edge? what did the scorer say?
+        # did the match decision reject it?
         from pyspark.sql import functions as F
 
         comp = out["components"]
@@ -53,6 +55,12 @@ def main() -> None:
         cb = comp.select(
             F.col("doc_id").alias("doc_b"), F.col("component_id").alias("comp_b")
         )
+        acc = out["accepted_edges"].select(
+            "doc_a", "doc_b", F.col("score").alias("edge_score"), "accepted"
+        ).dropDuplicates(["doc_a", "doc_b"])
+        cand = out["candidate_edges"].select("doc_a", "doc_b").withColumn(
+            "paired", F.lit(True)
+        ).dropDuplicates(["doc_a", "doc_b"])
         j = (
             lp.join(ca, "doc_a", "left")
             .join(cb, "doc_b", "left")
@@ -60,12 +68,29 @@ def main() -> None:
                 "pred",
                 F.col("comp_a").isNotNull() & (F.col("comp_a") == F.col("comp_b")),
             )
+            .join(cand, ["doc_a", "doc_b"], "left")
+            .join(acc, ["doc_a", "doc_b"], "left")
+            .withColumn(
+                "why",
+                F.when(~F.col("is_match"), F.lit("fp"))
+                .when(F.col("paired").isNull(), F.lit("never_paired"))
+                .when(F.col("edge_score").isNull(), F.lit("paired_not_scored"))
+                .when(F.col("edge_score") < 0.75, F.lit("scored_below_min"))
+                .when(~F.col("accepted"), F.lit("borderline_rejected"))
+                .otherwise(F.lit("accepted_direct_edge")),
+            )
         )
-        print("-- false negatives --")
-        for r in j.filter(F.col("is_match") & ~F.col("pred")).collect():
-            print(dict(r.asDict()))
-        print("-- false positives --")
-        for r in j.filter(~F.col("is_match") & F.col("pred")).collect():
+        miss = j.filter(F.col("is_match") != F.col("pred")).localCheckpoint(
+            eager=True
+        )
+        print("-- miss classification (fn: why the pair did not link; fp) --")
+        for r in (
+            miss.groupBy("is_match", "why").count().orderBy("is_match", "why")
+        ).collect():
+            kind = "fn" if r["is_match"] else "fp"
+            print(f"  {kind:2s} {r['why']:22s} {r['count']}")
+        print("-- sample misses (<= 40) --")
+        for r in miss.orderBy("doc_a", "doc_b").limit(40).collect():
             print(dict(r.asDict()))
 
 

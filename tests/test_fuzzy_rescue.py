@@ -14,6 +14,49 @@ def _norm(spark, rows):
     return spark.createDataFrame(rows, ["doc_id", "norm_mention"])
 
 
+class TestCandidateCapRanking:
+    def test_sig_relevance_beats_block_size(self, spark):
+        # The per-endpoint cap must keep the most-SIMILAR candidate, not
+        # the one from the smallest block: with limit=1, endpoint dx's
+        # junk pair (da, size-2 block) and dt's junk pair (db, size-2)
+        # would both outrank the true pair (dt, dx) (size-3 block) under
+        # the old block-size ordering — squeezing it from BOTH sides —
+        # while signature-agreement ranking keeps it (the 600k
+        # never-paired regression, BASELINE.md round-5).
+        from alligator_spark.operators.pairs import PairConfig
+
+        keys = spark.createDataFrame(
+            [
+                ("dx", "tk:shared", "token"),
+                ("dt", "tk:shared", "token"),
+                ("df", "tk:shared", "token"),
+                ("dx", "tk:xj", "token"),
+                ("da", "tk:xj", "token"),
+                ("dt", "tk:tj", "token"),
+                ("db", "tk:tj", "token"),
+            ],
+            ["doc_id", "block_key", "key_kind"],
+        )
+        sigs = spark.createDataFrame(
+            [
+                ("dx", list(range(16))),
+                ("dt", list(range(16))),  # identical to dx -> sim 16
+                ("df", [100 + i for i in range(16)]),
+                ("da", [200 + i for i in range(16)]),
+                ("db", [300 + i for i in range(16)]),
+            ],
+            "doc_id string, sig array<long>",
+        )
+        cfg = PairConfig(candidate_limit=1)
+        with_sigs, _ = candidate_pairs(keys, cfg, sigs=sigs)
+        got = {(r["doc_a"], r["doc_b"]) for r in with_sigs.collect()}
+        assert ("dt", "dx") in got
+
+        without, _ = candidate_pairs(keys, cfg)
+        got_old = {(r["doc_a"], r["doc_b"]) for r in without.collect()}
+        assert ("dt", "dx") not in got_old  # the documented old failure
+
+
 class TestFuzzyRescue:
     def test_lonely_docs_get_loose_pairs(self, spark):
         # single-token mentions, one char apart: no shared token key, no
