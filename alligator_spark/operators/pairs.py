@@ -154,6 +154,19 @@ def candidate_pairs(
         )
         .select("block_key", "salt", "doc_id", "block_size")
     )
+    if cfg.candidate_limit and sigs is not None:
+        # Relevance for the candidate cap: carry each doc's MinHash
+        # signature THROUGH the key rows (one per (doc, key) — ~7-9/doc)
+        # so the self-join can compute signature agreement inline at
+        # pair emission, JVM-side. This adds ~n_hashes longs to the
+        # already-needed key exchange; the alternative — joining the
+        # signature table onto the pre-cap pair table from both sides —
+        # shuffles the AMPLIFIED (~30x docs) pair rows twice and was the
+        # dominant serial cost of the stage at local[1] (round-5 1v4
+        # decomposition).
+        keyed = keyed.join(sigs.hint("shuffle_hash"), "doc_id").select(
+            "block_key", "salt", "doc_id", "block_size", "sig"
+        )
     # The self-join AMPLIFIES: a task reading s co-blocked rows emits
     # ~s^2/2 pairs, so task cost tracks sum(s^2) while AQE balances INPUT
     # bytes (and the compressed key shuffle is tiny — measured: the whole
@@ -169,63 +182,58 @@ def candidate_pairs(
     n_parts = max(dp, min(est_parts, dp * 4))
     keyed = keyed.repartition(n_parts, "block_key", "salt")
 
+    has_sim = bool(cfg.candidate_limit) and sigs is not None
     a = keyed.alias("a")
     # shuffle-hash for the self-join too (same fictional-estimate issue);
     # both sides reuse the explicit repartition above — no extra exchange
     b = keyed.alias("b").hint("shuffle_hash")
+    emit = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("block_key"),
+        F.col("a.block_size").alias("block_size"),
+    ]
+    if has_sim:
+        # signature agreement computed AT EMISSION (whole-stage codegen:
+        # 16 long compares per pair) — the pair table never re-shuffles
+        # to pick up signatures
+        emit.append(
+            F.size(
+                F.filter(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            ).alias("_sim")
+        )
     pairs = (
         a.join(b, on=["block_key", "salt"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("block_key"),
-            F.col("a.block_size").alias("block_size"),
-        )
+        .select(*emit)
     )
     # one (doc_a, doc_b) edge even when co-blocked under several keys;
     # keep the MOST SPECIFIC key (smallest block, then lexicographic) —
-    # deterministic, and the size feeds the candidate-limit ranking
-    pairs = pairs.groupBy("doc_a", "doc_b").agg(
-        F.min(F.struct("block_size", "block_key")).alias("_sel")
-    ).select(
+    # deterministic, and the size feeds the candidate-limit ranking.
+    # _sim is a pure function of the two docs, identical on every copy.
+    aggs = [F.min(F.struct("block_size", "block_key")).alias("_sel")]
+    if has_sim:
+        aggs.append(F.max("_sim").alias("_sim"))
+    pairs = pairs.groupBy("doc_a", "doc_b").agg(*aggs).select(
         "doc_a",
         "doc_b",
         F.col("_sel.block_key").alias("block_key"),
         F.col("_sel.block_size").alias("block_size"),
+        *([F.col("_sim")] if has_sim else [F.lit(0).alias("_sim")]),
     )
     if cfg.candidate_limit:
         # per-endpoint top-K over narrow rows — this window is what keeps
         # the WIDE scoring shuffle linear in docs. Relevance = estimated
-        # Jaccard from the shared MinHash pass (two shuffle_hash map
-        # joins of 16-long arrays onto ~30 pairs/doc — sigs is
-        # corpus-scaled, never broadcast); falls back to block
-        # specificity when no signatures are supplied.
-        ranked_pairs = pairs
-        if sigs is not None:
-            sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
-            sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
-            ranked_pairs = (
-                pairs.join(sa.hint("shuffle_hash"), "doc_a")
-                .join(sb.hint("shuffle_hash"), "doc_b")
-                .withColumn(
-                    "_sim",
-                    F.size(
-                        F.filter(
-                            F.zip_with("_sa", "_sb", lambda x, y: x == y),
-                            lambda v: v,
-                        )
-                    ),
-                )
-                .drop("_sa", "_sb")
-            )
-        else:
-            ranked_pairs = pairs.withColumn("_sim", F.lit(0))
-        sides = ranked_pairs.select(
+        # Jaccard (signature agreement, computed in the self-join above);
+        # falls back to block specificity when no signatures are supplied.
+        sides = pairs.select(
             F.col("doc_a").alias("ep"), F.col("doc_b").alias("other"),
             "block_size", "_sim",
         ).unionAll(
-            ranked_pairs.select(
+            pairs.select(
                 F.col("doc_b").alias("ep"), F.col("doc_a").alias("other"),
                 "block_size", "_sim",
             )
@@ -243,4 +251,4 @@ def candidate_pairs(
             .distinct()
         )
         pairs = pairs.join(keep, ["doc_a", "doc_b"], "left_semi")
-    return pairs.drop("block_size"), sizes
+    return pairs.drop("block_size", "_sim"), sizes
