@@ -35,13 +35,38 @@ def _cosine_expr(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
+    na = _norm2_expr(a)
+    nb = _norm2_expr(b)
     return F.when(na * nb > 0, dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _norm2_expr(v):
+    """L2 norm of an array column — the exact subexpression _cosine_expr
+    uses, exposed so join sides can precompute it ONCE per vector instead
+    of once per scored pair (identical IEEE doubles either way: same
+    expression, same element order)."""
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dot_expr(a, b):
+    """The dot-product half of _cosine_expr (same expression tree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cos_from_norms(a, b, na, nb):
+    """Cosine from precomputed side norms. Bit-identical to
+    _cosine_expr(a, b): the norm columns are the same expression
+    evaluated on the same array, just hoisted above the join so each
+    side's norm is computed once per VECTOR, not once per PAIR (the
+    pre-r6 shape re-ran both norm aggregates inside every scored row —
+    ~2/3 of the brute-force stage's element operations)."""
+    return F.when(na * nb > 0, _dot_expr(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -57,15 +82,24 @@ def brute_force_topk(
     no shuffle of the corpus at all.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm2_expr(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm2_expr(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", _cosine_expr(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos_sim",
+            _cos_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -122,6 +156,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm2_expr(F.col(vec_col)).alias("_cn"),
         F.element_at(buckets(F.col(vec_col)), 1).alias("bucket"),
     )
     if max_bucket is not None:
@@ -140,13 +175,19 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm2_expr(F.col(vec_col)).alias("_qn"),
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", _cosine_expr(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos_sim",
+            _cos_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -314,17 +355,24 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm2_expr(F.col(vec_col)).alias("_cn"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm2_expr(F.col(vec_col)).alias("_qn"),
         F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", _cosine_expr(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos_sim",
+            _cos_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
