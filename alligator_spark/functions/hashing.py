@@ -47,15 +47,122 @@ def minhash_signature(
     return vals.min(axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels (r6). Bit-identical to the scalar functions
+# above — same crc32 base hash, same affine permutations with the same
+# uint64 wraparound, same segment minima — but computed over a whole
+# Arrow batch at once instead of one numpy round-trip per text. The
+# scalar paths remain as the executable specification (equivalence is
+# pinned by tests/test_similarity.py::TestBatchKernelEquivalence).
+
+def _make_crc_table() -> np.ndarray:
+    t = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        t[i] = c
+    return t
+
+
+_CRC_T = _make_crc_table()
+
+
+def _crc32_mat(mat: np.ndarray) -> np.ndarray:
+    """crc32 of each ROW of a (n, L) uint8 matrix — table-driven, one
+    vectorized step per byte column (L is small: 3 for shingles, 8*rows
+    for band keys). Identical to zlib.crc32(row.tobytes())."""
+    crc = np.full(mat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(mat.shape[1]):
+        crc = (crc >> np.uint32(8)) ^ _CRC_T[(crc ^ mat[:, j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _batch_shingles(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenated shingle hashes for a batch of texts.
+
+    Returns (hashes uint64, starts int64, lengths int64): hashes is the
+    concatenation of every text's shingle_hashes(); starts[i] is text i's
+    offset into it (every text contributes >= 1 entry, exactly like the
+    scalar path: empty -> [0], short -> [crc32(text)]).
+
+    ASCII texts (the overwhelming majority: md5 strings, normalized
+    mentions) go through one vectorized sliding-window crc32; non-ASCII
+    texts fall back to the scalar kernel — per text, same values."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    parts: list[np.ndarray] = []
+    # group the vectorizable grams across the whole batch
+    win_bytes: list[np.ndarray] = []
+    win_slots: list[int] = []  # index into parts to fill after the batch crc
+    for i, t in enumerate(texts):
+        t = t or ""
+        if len(t) < n:
+            if t:
+                h = np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.uint64)
+            else:
+                h = np.zeros(1, dtype=np.uint64)
+            counts[i] = len(h)
+            parts.append(h)
+            continue
+        bs = t.encode("utf-8")
+        if len(bs) != len(t):
+            h = shingle_hashes(t, n)  # non-ASCII: scalar fallback
+            counts[i] = len(h)
+            parts.append(h)
+            continue
+        arr = np.frombuffer(bs, dtype=np.uint8)
+        m = len(t) - n + 1
+        counts[i] = m
+        win_slots.append(len(parts))
+        parts.append(None)  # type: ignore[arg-type]
+        win_bytes.append(np.lib.stride_tricks.sliding_window_view(arr, n))
+    if win_bytes:
+        allwin = np.concatenate(win_bytes, axis=0)
+        crcs = _crc32_mat(allwin).astype(np.uint64)
+        off = 0
+        for slot, w in zip(win_slots, win_bytes):
+            parts[slot] = crcs[off : off + len(w)]
+            off += len(w)
+    hashes = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return hashes, starts, counts
+
+
+# cap on the (shingles x num_hashes) working matrix per internal chunk
+_BATCH_CELL_BUDGET = 16_000_000
+
+
+def minhash_sigs_batch(texts, num_hashes: int = 16, seed: int = 7) -> np.ndarray:
+    """(len(texts), num_hashes) uint64 MinHash signatures — the batch
+    form of minhash_signature (same affine perms, same uint64 wraparound,
+    same per-text minima)."""
+    a, b = _rng_params(num_hashes, seed)
+    hashes, starts, counts = _batch_shingles(texts)
+    out = np.empty((len(texts), num_hashes), dtype=np.uint64)
+    # chunk on TEXT boundaries so each reduceat sees whole segments
+    i = 0
+    max_shingles = max(_BATCH_CELL_BUDGET // max(num_hashes, 1), 1)
+    while i < len(texts):
+        j = i
+        tot = 0
+        while j < len(texts) and (tot + counts[j] <= max_shingles or j == i):
+            tot += counts[j]
+            j += 1
+        seg = hashes[starts[i] : starts[i] + tot]
+        vals = (seg[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
+        out[i:j] = np.minimum.reduceat(vals, starts[i:j] - starts[i], axis=0)
+        i = j
+    return out
+
+
 def minhash_sig_arrays(texts, num_hashes: int = 16, seed: int = 7) -> list:
     """Per text: the raw MinHash signature as a list of ints (fits int64;
     values are mod 2^61-1). Computed ONCE per corpus — band keys for any
     banding are then derived JVM-side (xxhash64 over signature slices), so
     a looser second banding (the fuzzy retry) costs no second Python pass."""
-    a, b = _rng_params(num_hashes, seed)
-    return [
-        [int(v) for v in minhash_signature(t or "", num_hashes, a, b)] for t in texts
-    ]
+    sigs = minhash_sigs_batch(texts, num_hashes, seed)
+    return [[int(v) for v in row] for row in sigs]
 
 
 def minhash_band_keys(
@@ -66,18 +173,18 @@ def minhash_band_keys(
     Docs sharing any band key are co-blocked; with rows r = num_hashes/bands
     the collision probability for Jaccard j is 1-(1-j^r)^bands.
     """
-    a, b = _rng_params(num_hashes, seed)
     rows = num_hashes // bands
-    out = []
-    for t in texts:
-        sig = minhash_signature(t or "", num_hashes, a, b)
-        keys = []
-        for bi in range(bands):
-            chunk = sig[bi * rows : (bi + 1) * rows]
-            h = zlib.crc32(chunk.tobytes()) & 0xFFFFFFFF
-            keys.append(f"mh{bi}:{h:08x}")
-        out.append(keys)
-    return out
+    sigs = minhash_sigs_batch(texts, num_hashes, seed)
+    # bytes of each band slice == the scalar path's chunk.tobytes()
+    # (both little-endian contiguous uint64), crc32'd vectorized
+    sig_bytes = np.ascontiguousarray(sigs).view(np.uint8).reshape(
+        len(texts), num_hashes * 8
+    )
+    band_hex = []
+    for bi in range(bands):
+        h = _crc32_mat(sig_bytes[:, bi * rows * 8 : (bi + 1) * rows * 8])
+        band_hex.append(np.char.mod(f"mh{bi}:%08x", h))
+    return [list(row) for row in zip(*band_hex)]
 
 
 def simhash64(text: str) -> int:
@@ -97,6 +204,41 @@ def simhash64(text: str) -> int:
     votes = (2 * bits - 1).sum(axis=0)
     sim = (votes >= 0).astype(np.uint64)
     return int((sim << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """(len(texts),) int64 SimHashes — the batch form of simhash64 (same
+    crc32 shingles, same splitmix64 expansion, same per-bit majority),
+    with the uint64 result reinterpreted as int64 (two's-complement fold,
+    exactly what _to_i64 in operators.dedup does to the scalar value)."""
+    hashes, starts, counts = _batch_shingles(texts)
+    x = hashes.copy()
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    out = np.empty(len(texts), dtype=np.uint64)
+    i = 0
+    max_shingles = max(_BATCH_CELL_BUDGET // 64, 1)
+    while i < len(texts):
+        j = i
+        tot = 0
+        while j < len(texts) and (tot + counts[j] <= max_shingles or j == i):
+            tot += counts[j]
+            j += 1
+        seg = x[starts[i] : starts[i] + tot]
+        # bit j of the uint64 == column j of the little-endian unpack —
+        # one uint8 matrix instead of a 64-wide uint64 expansion
+        bits = np.unpackbits(
+            seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        cnt = np.add.reduceat(bits, starts[i:j] - starts[i], axis=0, dtype=np.int64)
+        sim = (2 * cnt >= counts[i:j, None]).astype(np.uint8)
+        out[i:j] = np.packbits(sim, axis=1, bitorder="little").view(np.uint64).ravel()
+        i = j
+    return out.view(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -198,6 +198,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     rounds = jobs = 0
+    done = False
     while rounds < max_iter:
         cur = _star_round(cur)
         rounds += 1
@@ -218,12 +219,27 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["jobs"] = jobs
-    # after convergence every edge points child -> root
-    comps = cur.select(
-        F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
-    ).unionAll(
-        cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component_id"))
-    ).groupBy("doc_id").agg(F.min("component_id").alias("component_id"))
+    if done:
+        # the probe PROVED the edge set is a min-rooted star forest:
+        # every src appears exactly once (one row per child) and no src
+        # is ever a dst (roots are never children) — so the child->root
+        # rows ARE the per-child component map and the distinct roots
+        # are their own components. Skips the union+groupBy-min shuffle
+        # of the whole edge set (one full pass at any scale).
+        comps = cur.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+        ).unionAll(
+            cur.select("dst").distinct().select(
+                F.col("dst").alias("doc_id"), F.col("dst").alias("component_id")
+            )
+        )
+    else:
+        # max_iter fallback: not provably a forest — keep the aggregation
+        comps = cur.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+        ).unionAll(
+            cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component_id"))
+        ).groupBy("doc_id").agg(F.min("component_id").alias("component_id"))
     if all_nodes is not None:
         comps = (
             all_nodes.select("doc_id")

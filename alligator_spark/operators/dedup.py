@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from alligator_spark.functions.hashing import minhash_band_keys, simhash64
+from alligator_spark.functions.hashing import minhash_band_keys
 from alligator_spark.operators.clustering import connected_components
 
 
@@ -243,40 +243,74 @@ def minhash_lsh_dedup(
     magnitude of doomed candidates (measured at the sf0.1 planted
     corpus: 1.78M band candidates for 6,000 docs, every accepted edge
     already covered by the exact-set buckets — 22 s -> ~4 s)."""
-    keyed = (
-        None
-        if threshold >= 1.0
-        else minhash_buckets(df, id_col, text_col, num_hashes, bands)
-    )
+    # ONE Arrow pass computes BOTH key families (r6 — was two separate
+    # pandas-UDF passes over the corpus plus a union of two scans):
+    # * LSH band keys (skipped at threshold >= 1.0 — see above)
+    # * the exact-gram-set key: one extra bucket per doc keyed by the md5
+    #   of its sorted distinct verify-gram hashes. Docs whose VERIFY gram
+    #   sets are equal are then guaranteed candidates even when the
+    #   (whole-string-shingled) MinHash bands happen to miss them —
+    #   making candidate generation COMPLETE at jaccard == 1.0 (the
+    #   property the exact-set oracle checks) and robust for heavy
+    #   exact duplicates.
+    with_bands = threshold < 1.0
+    nh, nb = num_hashes, bands
 
-    # exact-gram-set fast path: one extra bucket per doc keyed by the md5
-    # of its sorted distinct verify-gram hashes. Docs whose VERIFY gram
-    # sets are equal are then guaranteed candidates even when the
-    # (whole-string-shingled) MinHash bands happen to miss them — making
-    # candidate generation COMPLETE at jaccard == 1.0 (the property the
-    # exact-set oracle checks) and robust for heavy exact duplicates.
-    @F.pandas_udf(T.StringType())
-    def exact_set_key(s: pd.Series) -> pd.Series:
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("bands", T.ArrayType(T.StringType())),
+                T.StructField("es", T.StringType()),
+            ]
+        )
+    )
+    def all_keys(s: pd.Series) -> pd.DataFrame:
         import hashlib
 
         from alligator_spark.functions.similarity import ngram_hash_array
 
-        out = []
-        for x in s:
+        texts = s.tolist()
+        es_col = []
+        for x in texts:
             arr = ngram_hash_array(x or "", 3)
-            out.append(
+            es_col.append(
                 "es:" + hashlib.md5(arr.tobytes()).hexdigest() if arr.size else None
             )
-        return pd.Series(out)
+        bands_col = (
+            minhash_band_keys(texts, nh, nb, 17)  # minhash_buckets' seed
+            if with_bands
+            else [[] for _ in texts]
+        )
+        return pd.DataFrame({"bands": bands_col, "es": es_col})
 
-    es = (
-        df.select(F.col(id_col), exact_set_key(F.col(text_col)).alias("bucket_key"))
-        .filter(F.col("bucket_key").isNotNull())
-        # the exact-set bucket is content-homogeneous by construction: the
-        # bucket key itself is the content salt prefix
-        .withColumn("salt_key", F.col("bucket_key"))
+    k = df.select(F.col(id_col), all_keys(F.col(text_col)).alias("_k"))
+    # band rows salt on the first band key (a content prefix shared
+    # w.h.p. by near-identical docs — see _pairs_from_buckets); the
+    # exact-set bucket is content-homogeneous by construction, so its
+    # key IS its salt prefix
+    entries = F.concat(
+        F.transform(
+            F.col("_k.bands"),
+            lambda bk: F.struct(
+                bk.alias("bucket_key"),
+                F.element_at(F.col("_k.bands"), 1).alias("salt_key"),
+            ),
+        ),
+        F.when(
+            F.col("_k.es").isNotNull(),
+            F.array(
+                F.struct(
+                    F.col("_k.es").alias("bucket_key"),
+                    F.col("_k.es").alias("salt_key"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<bucket_key:string,salt_key:string>>")),
     )
-    keyed = es if keyed is None else keyed.unionByName(es)
+    keyed = k.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        F.col(id_col),
+        F.col("_e.bucket_key").alias("bucket_key"),
+        F.col("_e.salt_key").alias("salt_key"),
+    )
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
     texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
@@ -305,14 +339,6 @@ def minhash_lsh_dedup(
     return connected_components(edges, all_nodes=df.select(F.col(id_col).alias("doc_id")))
 
 
-def _to_i64(v: int) -> int:
-    """Two's-complement fold of a uint64 into int64 range — explicit in
-    Python int space (NumPy 2.x raises OverflowError on out-of-range
-    np.int64(np.uint64(v)) scalar conversion; ~half of all SimHashes have
-    the top bit set)."""
-    return v - (1 << 64) if v >= (1 << 63) else v
-
-
 def simhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -328,9 +354,9 @@ def simhash_dedup(
 
     @F.pandas_udf(T.LongType())
     def sh(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_to_i64(simhash64(x or "")) for x in s], dtype="int64"
-        )
+        from alligator_spark.functions.hashing import simhash64_batch
+
+        return pd.Series(simhash64_batch(s.tolist()), dtype="int64")
 
     sig = df.select(F.col(id_col), sh(F.col(text_col)).alias("sig"))
     chunks = [

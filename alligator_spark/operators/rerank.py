@@ -266,6 +266,87 @@ def weighted_overlap(
     return out
 
 
+def _fused_rw(
+    pairs: DataFrame,
+    tok_keys: DataFrame,
+    g3_keys: DataFrame,
+    topn: DataFrame,
+    n_docs_df: DataFrame,
+    min_docs: int,
+) -> DataFrame:
+    """rw_tok + rw_g3 + cta_list in ONE keys/freq/pair-join pipeline.
+
+    The token and 3-gram pipelines are disjoint namespaces, so tagging
+    keys with a ``t:`` / ``g:`` prefix and running ONE frequency count,
+    ONE per-doc key-array build and ONE pair-side join pass yields the
+    exact same integer rarity sums as the two separate
+    ``weighted_overlap`` calls it replaces (set ops on the fused array
+    restricted to a namespace == set ops on that namespace's array; the
+    rarity aggregate is order-independent integer addition). Halves the
+    rerank stage's joins/shuffles; ``weighted_overlap`` remains for
+    direct single-family callers."""
+    fused = tok_keys.select(
+        "doc_id", F.concat(F.lit("t:"), F.col("key")).alias("key")
+    ).unionAll(
+        g3_keys.select("doc_id", F.concat(F.lit("g:"), F.col("key")).alias("key"))
+    )
+    freq = global_key_freq(topn, fused, min_docs)
+    sides = _keys_per_doc(fused, freq).persist().hint("shuffle_hash")
+    enriched = (
+        pairs.select("doc_a", "doc_b")
+        .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("kw").alias("ka")), "doc_a")
+        .join(sides.select(F.col("doc_id").alias("doc_b"), F.col("kw").alias("kb")), "doc_b")
+        .crossJoin(F.broadcast(n_docs_df))
+    )
+    nd = F.col("n_docs")
+
+    def is_kind(x, prefix: str):
+        return x["key"].startswith(prefix)
+
+    def rar_sum(arr, prefix: str):
+        return F.aggregate(
+            F.filter(arr, lambda x: is_kind(x, prefix)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (nd - x["cnt"]),
+        )
+
+    inter = F.array_intersect("ka", "kb")
+    uni = F.array_union("ka", "kb")
+    out = enriched.select(
+        "doc_a",
+        "doc_b",
+        rar_sum(inter, "t:").alias("_sh_t"),
+        rar_sum(uni, "t:").alias("_un_t"),
+        rar_sum(inter, "g:").alias("_sh_g"),
+        rar_sum(uni, "g:").alias("_un_g"),
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.filter(uni, lambda x: is_kind(x, "t:")),
+                        lambda x: x["cnt"].cast("double") / nd,
+                    )
+                )
+            ),
+            1,
+            5,
+        ).alias("cta_list"),
+    )
+
+    def ratio(sh: str, un: str):
+        return F.when(F.col(un) <= 0, F.lit(0.5)).otherwise(
+            F.col(sh).cast("double") / F.col(un).cast("double")
+        )
+
+    return out.select(
+        "doc_a",
+        "doc_b",
+        ratio("_sh_t", "_un_t").alias("rw_tok"),
+        ratio("_sh_g", "_un_g").alias("rw_g3"),
+        "cta_list",
+    )
+
+
 def global_pred_freq(topn: DataFrame, scored: DataFrame) -> DataFrame:
     """A3 predicate frequencies over literal-span kinds: per endpoint doc,
     the FIRST (best-ranked) top-N candidate carrying a kind contributes its
@@ -316,15 +397,11 @@ def rerank_edges(
 
     tok_keys = mention_token_keys(normalized)
     g3_keys = mention_gram_keys(normalized)
-    tok_freq = global_key_freq(topn, tok_keys, cfg.min_docs)
-    g3_freq = global_key_freq(topn, g3_keys, cfg.min_docs)
 
-    # heavy per-pair stage only for pairs that can possibly be accepted
+    # heavy per-pair stage only for pairs that can possibly be accepted;
+    # tok + g3 run as ONE fused namespaced pipeline (see _fused_rw)
     pairs = scored.filter(F.col("score") >= cfg.rw_floor).select("doc_a", "doc_b")
-    rw_tok = weighted_overlap(
-        pairs, tok_keys, tok_freq, n_docs_df, "rw_tok", cta_col="cta_list"
-    )
-    rw_g3 = weighted_overlap(pairs, g3_keys, g3_freq, n_docs_df, "rw_g3")
+    rw_both = _fused_rw(pairs, tok_keys, g3_keys, topn, n_docs_df, cfg.min_docs)
 
     # pred freqs as a broadcast 1-row map (<= 3 kinds) — no driver collect
     pred_map_df = global_pred_freq(topn, scored).agg(
@@ -334,8 +411,7 @@ def rerank_edges(
     )
 
     out = (
-        scored.join(rw_tok, ["doc_a", "doc_b"], "left")
-        .join(rw_g3, ["doc_a", "doc_b"], "left")
+        scored.join(rw_both, ["doc_a", "doc_b"], "left")
         .crossJoin(F.broadcast(n_docs_df))
         .crossJoin(F.broadcast(pred_map_df))
     )

@@ -174,3 +174,94 @@ def test_logistic_score_margins():
     }
     assert score(worst_true) >= 0.92
     assert score(best_false) < 0.75
+
+
+class TestBatchKernelEquivalence:
+    """The r6 vectorized batch kernels must be bit-identical to the
+    scalar reference kernels they replaced (hashing.py keeps the scalar
+    paths as the executable specification)."""
+
+    TEXTS = [
+        "hello world",
+        "",
+        "ab",
+        "abc",
+        "the quick brown fox jumps over the lazy dog",
+        "x" * 500,
+        "café au lait ünïcödé",
+        "a b c d e f g",
+        "39ad0f3c" * 4,
+        " leading and trailing ",
+        "日本語テキスト",
+        "mixed ascii and ünicode tail",
+    ]
+
+    def test_batch_shingles_match_scalar(self):
+        import numpy as np
+
+        from alligator_spark.functions.hashing import _batch_shingles, shingle_hashes
+
+        hs, starts, counts = _batch_shingles(self.TEXTS)
+        for i, t in enumerate(self.TEXTS):
+            ref = shingle_hashes(t, 3)
+            got = hs[starts[i] : starts[i] + counts[i]]
+            assert np.array_equal(ref, got), t
+
+    def test_batch_minhash_sigs_match_scalar(self):
+        import numpy as np
+
+        from alligator_spark.functions.hashing import (
+            _rng_params,
+            minhash_signature,
+            minhash_sigs_batch,
+        )
+
+        a, b = _rng_params(16, 7)
+        sigs = minhash_sigs_batch(self.TEXTS, 16, 7)
+        for i, t in enumerate(self.TEXTS):
+            assert np.array_equal(minhash_signature(t or "", 16, a, b), sigs[i]), t
+
+    def test_batch_band_keys_match_scalar_loop(self):
+        import zlib
+
+        from alligator_spark.functions.hashing import (
+            _rng_params,
+            minhash_band_keys,
+            minhash_signature,
+        )
+
+        for nh, nb, seed in [(16, 4, 7), (32, 8, 17)]:
+            a, b = _rng_params(nh, seed)
+            rows = nh // nb
+            expected = []
+            for t in self.TEXTS:
+                sig = minhash_signature(t or "", nh, a, b)
+                keys = []
+                for bi in range(nb):
+                    chunk = sig[bi * rows : (bi + 1) * rows]
+                    keys.append(f"mh{bi}:{zlib.crc32(chunk.tobytes()) & 0xFFFFFFFF:08x}")
+                expected.append(keys)
+            assert minhash_band_keys(self.TEXTS, nh, nb, seed) == expected
+
+    def test_batch_simhash_matches_scalar(self):
+        from alligator_spark.functions.hashing import simhash64, simhash64_batch
+
+        def to_i64(v: int) -> int:
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        batch = simhash64_batch(self.TEXTS)
+        for i, t in enumerate(self.TEXTS):
+            assert to_i64(simhash64(t or "")) == int(batch[i]), t
+
+    def test_crc32_mat_matches_zlib(self):
+        import zlib
+
+        import numpy as np
+
+        from alligator_spark.functions.hashing import _crc32_mat
+
+        rng = np.random.RandomState(0)
+        mat = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+        got = _crc32_mat(mat)
+        for i in range(mat.shape[0]):
+            assert int(got[i]) == zlib.crc32(mat[i].tobytes())
