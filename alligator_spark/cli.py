@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--max-block-size", type=int, default=64)
+    ap.add_argument(
+        "--candidate-limit",
+        default=None,
+        metavar="N|none",
+        help="per-mention candidate retrieval cap (reference "
+        "candidate_retrieval_limit, alligator/config.py:157; default 32). "
+        "'none' disables the cap — maximal recall, volume bounded by the "
+        "block-size caps alone (see BASELINE.md's F1 frontier)",
+    )
     ap.add_argument("--evaluate", action="store_true", help="print pairwise F1 vs gold (synthesized corpora only)")
     ap.add_argument(
         "--export-cea",
@@ -113,7 +122,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         docs = spark.read.parquet(args.input)
 
-    cfg = PipelineConfig(pairs=PairConfig(max_block_size=args.max_block_size))
+    pair_kwargs: dict = {"max_block_size": args.max_block_size}
+    if args.candidate_limit is not None:
+        pair_kwargs["candidate_limit"] = (
+            None
+            if args.candidate_limit.lower() == "none"
+            else int(args.candidate_limit)
+        )
+    cfg = PipelineConfig(pairs=PairConfig(**pair_kwargs))
     out = run_pipeline(spark, docs, args.workdir, cfg, resume=not args.no_resume)
     n_docs = out["clusters"].count()
     wall = time.monotonic() - t0

@@ -186,7 +186,11 @@ def _lit_sims(nums_a, nums_b, dates_a, dates_b, strs_a, strs_b):
 def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Python half of the battery: levenshtein, jaro-winkler, literal
     similarities (reference-exact, lru-cached scalar kernels). All
-    overlap/count features run JVM-side — see score_pairs."""
+    overlap/count features run JVM-side — see score_pairs.
+
+    Rows flagged ``_skip`` (the JVM prefilter proved their score can
+    never matter — see ``prefilter_lin_cap``) keep the zero/None
+    defaults and cost no Python compute."""
     n = len(pdf)
     cols = {name: np.zeros(n) for name in _PY_FEATURES}
     prov_cols: dict[str, list] = {
@@ -200,8 +204,11 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ldb = pdf["lit_dates_b"].tolist()
     lsa = pdf["lit_strings_a"].tolist()
     lsb = pdf["lit_strings_b"].tolist()
+    skip = pdf["_skip"].tolist() if "_skip" in pdf.columns else [False] * n
 
     for i in range(n):
+        if skip[i]:
+            continue
         a = ma[i] or ""
         b = mb[i] or ""
         cols["ed_score"][i] = 1.0 - sim.levenshtein_norm(a, b)
@@ -241,6 +248,15 @@ _SIDE_ARRAYS_TYPE = T.StructType(
         # (the old per-pair regexp_extract_all ran 4x per pair row) and
         # the raw row_text never ships through the pair shuffles
         T.StructField("st_r", T.ArrayType(T.IntegerType())),
+        # prefilter inputs (r6, see prefilter_lin_cap): union of the
+        # string literals' packed 3-gram hashes (63-bit codepoint pack —
+        # collision-FREE, so the bound stays sound), the min per-literal
+        # gram count (lower-bounds the argmax pair's denominator), and
+        # the float()-parsed numeric literals (the battery's own parse,
+        # so the JVM closeness check sees identical doubles)
+        T.StructField("sl_g3", T.ArrayType(T.LongType())),
+        T.StructField("sl_min", T.IntegerType()),
+        T.StructField("num_vals", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -276,9 +292,16 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
         )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty_i64 = np.zeros(0, dtype=np.int64)
         for pdf in it:
-            out = {"g3_m": [], "tok_m": [], "g3_r": [], "gw_r": [], "st_r": []}
-            for m, r in zip(pdf["norm_mention"], pdf["row_text"]):
+            out = {
+                "g3_m": [], "tok_m": [], "g3_r": [], "gw_r": [], "st_r": [],
+                "sl_g3": [], "sl_min": [], "num_vals": [],
+            }
+            for m, r, strs, nums in zip(
+                pdf["norm_mention"], pdf["row_text"],
+                pdf["lit_strings"], pdf["lit_numbers"],
+            ):
                 m = m or ""
                 r = r or ""
                 out["g3_m"].append(_fold32(sim.ngram_hash_array(m, 3)))
@@ -286,6 +309,25 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
                 out["g3_r"].append(_fold32(sim.ngram_hash_array(r, 3)))
                 out["gw_r"].append(_fold32(sim.ngram_hash_array(r, None)))
                 out["st_r"].append(_stop_tok_hashes(r))
+                arrs = [
+                    sim.ngram_hash_array(str(x), 3)
+                    for x in (strs if strs is not None else [])
+                ]
+                if arrs:
+                    out["sl_g3"].append(
+                        np.unique(np.concatenate(arrs)).astype(np.int64)
+                    )
+                    out["sl_min"].append(min(len(a) for a in arrs))
+                else:
+                    out["sl_g3"].append(empty_i64)
+                    out["sl_min"].append(0)
+                vals = []
+                for x in (nums if nums is not None else []):
+                    try:
+                        vals.append(float(x))
+                    except Exception:
+                        vals.append(None)
+                out["num_vals"].append(vals)
             res = pdf[["doc_id", "norm_mention",
                        "lit_numbers", "lit_dates", "lit_strings"]].copy()
             for k, v in out.items():
@@ -311,13 +353,71 @@ def featurize_sides(normalized: DataFrame) -> DataFrame:
 _SIDE_COLS = [
     "norm_mention", "lit_numbers", "lit_dates", "lit_strings",
     "g3_m", "tok_m", "g3_r", "gw_r", "st_r",
+    "sl_g3", "sl_min", "num_vals",
 ]
 
 
-def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
+def prefilter_lin_cap() -> float:
+    """Largest weighted-sum value whose pair can be PROVEN irrelevant.
+
+    Derivation (all constants are the published scorer/decision
+    constants — the same style as RerankConfig.rw_floor_bound):
+
+    1. rival-irrelevance threshold r* = min(min_score - gap,
+       min_score / ratio): an edge with score < r* can never be accepted
+       (needs >= min_score) and can never BLOCK a borderline acceptance
+       (for any accepted s >= min_score, gap and ratio both clear
+       against any rival < r*), so lowering its score further cannot
+       change any accept decision.
+    2. the accept stage reads the RERANK score when rerank is enabled:
+       rank score s1 keeps the rerank score below r* even at the maximal
+       global boost rw == 1 iff
+       s1 < (rerank_center + logit(r*)/rerank_slope - w_global)/w_rank.
+       With rerank disabled the cap is r* itself; the min of the two
+       covers both paths.
+    3. rank score < cap iff weighted sum < score_center +
+       logit(cap)/score_slope.
+
+    A pair whose JVM-computable UPPER BOUND on the weighted sum is below
+    this value gets zeroed Python features (score only drops — weights
+    are positive and features non-negative — so it stays below r* and
+    stays irrelevant), and the Python battery skips it."""
+    import math
+
+    from alligator_spark.operators.rerank import (
+        RERANK_CENTER,
+        RERANK_SLOPE,
+        RERANK_W_GLOBAL,
+        RERANK_W_RANK,
+    )
+
+    def logit(p: float) -> float:
+        return math.log(p / (1.0 - p))
+
+    r_star = min(
+        MATCH_MIN_SCORE - MATCH_GAP_THRESHOLD,
+        MATCH_MIN_SCORE / MATCH_RATIO_THRESHOLD,
+    )
+    s1_rerank = (
+        RERANK_CENTER + logit(r_star) / RERANK_SLOPE - RERANK_W_GLOBAL
+    ) / RERANK_W_RANK
+    s1_cap = min(r_star, s1_rerank)
+    return SCORE_CENTER + logit(s1_cap) / SCORE_SLOPE
+
+
+def score_pairs(
+    pairs: DataFrame, normalized: DataFrame, prefilter: bool = True
+) -> DataFrame:
     """pairs(doc_a, doc_b, block_key) + normalized -> scored edges.
 
     Output: (doc_a, doc_b, block_key, features map, score).
+
+    ``prefilter`` (default on) routes pairs around the Python half of
+    the battery when a JVM-side upper bound proves their score can
+    never reach relevance (see ``prefilter_lin_cap``); their Python
+    features read as 0 and their score is a sound underestimate of an
+    already-irrelevant value. Pass False to force the full battery
+    (the equivalence test uses it).
     """
     # persist: BOTH side joins read this subtree and exchange-reuse does
     # not fire across the differently-keyed joins (verified: 0
@@ -343,11 +443,6 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
     enriched = pairs.join(side("a").hint("shuffle_hash"), "doc_a").join(
         side("b").hint("shuffle_hash"), "doc_b"
     )
-    # AQE targets ~64MB partitions — right for JVM operators, wrong for a
-    # CPU-bound Python stage (a 25MB pair table coalesces to ONE task and
-    # serializes the whole battery). Spread explicitly across cores.
-    sc = pairs.sparkSession.sparkContext
-    enriched = enriched.repartition(max(sc.defaultParallelism * 2, 8))
 
     def ov(a: str, b: str):
         """|A∩B| / max(|A|,|B|,1) on precomputed hash arrays — pure JVM
@@ -385,9 +480,97 @@ def score_pairs(pairs: DataFrame, normalized: DataFrame) -> DataFrame:
         for pdf in it:
             yield _score_batch(pdf)
 
-    withf = enriched.withColumns(jvm_feats).withColumn(
-        "_f", battery(F.struct(*py_in))
+    withf = enriched.withColumns(jvm_feats)
+    if prefilter:
+        # JVM upper bound on the weighted feature sum (see
+        # prefilter_lin_cap for why a pair below the cap is provably
+        # irrelevant). Per weighted feature:
+        #  * jaccard / jaccardNgram / p_subj_lit_row: the EXACT JVM value
+        #  * jw_score: <= 1 always
+        #  * ed_score = 1 - lev/max(len): lev >= |len_a - len_b| and
+        #    lev >= (max(|G_a|,|G_b|) - |G_a∩G_b|)/3 (one edit destroys
+        #    at most 3 distinct per-token 3-grams); the mention gram
+        #    arrays are 32-bit-folded, so 2 units of slack absorb any
+        #    conceivable fold collision in the intersect
+        #  * lit_str_sim = max over literal pairs of |Gx∩Gy|/max(|Gx|,|Gy|,1)
+        #    <= |U_a∩U_b| / max(min_gram_a, min_gram_b, 1) on the
+        #    collision-free packed union arrays (numerator: Gx∩Gy ⊆
+        #    U_a∩U_b; denominator: |Gx| >= min_a, |Gy| >= min_b)
+        #  * lit_num_close > 0 iff some numeric pair's similarity > 0.98;
+        #    checked on the battery's own float()-parsed doubles with the
+        #    identical formula (0.979 adds pure-defense margin)
+        #  * lit_date_close <= 1 if both sides have date literals else 0
+        la, lb = F.length("mention_a"), F.length("mention_b")
+        ga, gb = F.size("g3_m_a"), F.size("g3_m_b")
+        inter_g3m = F.size(F.array_intersect("g3_m_a", "g3_m_b"))
+        deficit = F.greatest(
+            F.abs(la - lb).cast("double"),
+            (F.greatest(ga, gb) - inter_g3m - F.lit(2)).cast("double") / F.lit(3.0),
+            F.lit(0.0),
+        )
+        ub_ed = F.lit(1.0) - deficit / F.greatest(la, lb, F.lit(1)).cast("double")
+        str_present = (F.size("lit_strings_a") > 0) & (F.size("lit_strings_b") > 0)
+        ub_str = F.when(
+            str_present,
+            F.least(
+                F.lit(1.0),
+                F.size(F.array_intersect("sl_g3_a", "sl_g3_b")).cast("double")
+                / F.greatest(
+                    F.greatest("sl_min_a", "sl_min_b"), F.lit(1)
+                ).cast("double"),
+            ),
+        ).otherwise(F.lit(0.0))
+        num_close_possible = F.exists(
+            "num_vals_a",
+            lambda x: F.exists(
+                "num_vals_b",
+                lambda y: x.isNotNull()
+                & y.isNotNull()
+                & (
+                    F.lit(1.0)
+                    - F.abs(x - y) / F.greatest(F.abs(x), F.abs(y), F.lit(1.0))
+                    > F.lit(0.979)
+                ),
+            ),
+        )
+        date_present = (F.size("lit_dates_a") > 0) & (F.size("lit_dates_b") > 0)
+        w = SCORE_WEIGHTS
+        ub_lin = (
+            F.lit(w["jaccard_score"]) * F.col("jaccard_score")
+            + F.lit(w["jaccardNgram_score"]) * F.col("jaccardNgram_score")
+            + F.lit(w["p_subj_lit_row"]) * F.col("p_subj_lit_row")
+            + F.lit(w["ed_score"]) * ub_ed
+            + F.lit(w["jw_score"])
+            + F.lit(w["lit_str_sim"]) * ub_str
+            + F.lit(w["lit_num_close"]) * num_close_possible.cast("double")
+            + F.lit(w["lit_date_close"]) * date_present.cast("double")
+        )
+        withf = withf.withColumn("_skip", ub_lin < F.lit(prefilter_lin_cap()))
+    # Project to exactly what the battery + output need, THEN spread.
+    # The round-robin exchange (a) drops the per-doc hash arrays from the
+    # shuffle — every JVM feature and the prefilter bound are already
+    # computed map-side, so only 9 doubles + the py_in columns ship
+    # (guide: project before the exchange) — and (b) is a projection
+    # barrier, so the Arrow battery's input struct reads plain post-
+    # shuffle attributes (inlining the HOF-bearing bound expression into
+    # a PythonUDF argument fails codegen and cannot be interpreted).
+    # AQE targets ~64MB partitions — right for JVM operators, wrong for a
+    # CPU-bound Python stage (a 25MB pair table coalesces to ONE task and
+    # serializes the whole battery). Spread explicitly across cores.
+    sc = pairs.sparkSession.sparkContext
+    keep = (
+        ["doc_a", "doc_b", "block_key"]
+        + list(jvm_feats.keys())
+        + py_in
+        + (["_skip"] if prefilter else [])
     )
+    withf = withf.select(*keep).repartition(max(sc.defaultParallelism * 2, 8))
+    py_struct = (
+        F.struct(*py_in, F.col("_skip").alias("_skip"))
+        if prefilter
+        else F.struct(*py_in)
+    )
+    withf = withf.withColumn("_f", battery(py_struct))
     feat_col = {
         n: (F.col(f"_f.{n}") if n in _PY_FEATURES else F.col(n))
         for n in FEATURE_NAMES
@@ -476,16 +659,42 @@ def accept_edges(
     """
     cfg = cfg or ScoringConfig()
 
-    # candidate list of each endpoint: the edge seen from both sides
-    from_a = scored.select(
+    # Strong edges (score >= strong) are accepted UNCONDITIONALLY, so
+    # they never need the window — and any endpoint that has a strong
+    # edge can never accept a borderline edge through that endpoint
+    # (every borderline score < strong <= its rk-1 strong edge's score,
+    # so the borderline edge can't be rk == 1 there). The window
+    # therefore runs ONLY over the non-strong edges of endpoints with
+    # zero strong edges — provably the same accept set as windowing
+    # everything, with the window input bounded by construction:
+    # non-strong edges come from the capped candidate retrieval
+    # (~2 x candidate_limit rows per endpoint), while the UNCAPPED
+    # exact-duplicate star edges (pairs.exact_mention_pairs — a mention
+    # repeated 10^6 times is a 10^6-edge star) score strong and are
+    # routed around it, so a mega-hot mention no longer lands its whole
+    # star in one window partition (r5 verdict "What's wrong #2").
+    strong_cond = F.col("score") >= cfg.strong
+    strong_keys = scored.filter(strong_cond).select("doc_a", "doc_b")
+    ns = scored.filter(~strong_cond)
+
+    # candidate list of each endpoint: the non-strong edge seen from
+    # both sides
+    from_a = ns.select(
         F.col("doc_a").alias("ep"), F.col("doc_b").alias("other"),
         "doc_a", "doc_b", "score",
     )
-    from_b = scored.select(
+    from_b = ns.select(
         F.col("doc_b").alias("ep"), F.col("doc_a").alias("other"),
         "doc_a", "doc_b", "score",
     )
     sides = from_a.unionByName(from_b)
+    strong_eps = (
+        strong_keys.select(F.col("doc_a").alias("ep"))
+        .unionAll(strong_keys.select(F.col("doc_b").alias("ep")))
+        .distinct()
+    )
+    # corpus-scale anti join: never broadcast (grows with the corpus)
+    sides = sides.join(strong_eps.hint("shuffle_hash"), "ep", "left_anti")
 
     if strong_comps is None:
         strong_comps = strong_components(scored, cfg)
@@ -518,7 +727,6 @@ def accept_edges(
             ).over(wep),
         )
     )
-    strong = F.col("score") >= cfg.strong
     borderline = (
         (F.col("rk") == 1)
         & (F.col("score") >= cfg.min_score)
@@ -531,8 +739,7 @@ def accept_edges(
         )
     )
     accepted_keys = (
-        ranked.filter(strong | borderline)
-        .select("doc_a", "doc_b")
+        strong_keys.unionByName(ranked.filter(borderline).select("doc_a", "doc_b"))
         .distinct()
         .withColumn("accepted", F.lit(True))
     )
