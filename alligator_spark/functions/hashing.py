@@ -91,9 +91,12 @@ def _batch_shingles(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarr
     texts fall back to the scalar kernel — per text, same values."""
     counts = np.empty(len(texts), dtype=np.int64)
     parts: list[np.ndarray] = []
-    # group the vectorizable grams across the whole batch
-    win_bytes: list[np.ndarray] = []
-    win_slots: list[int] = []  # index into parts to fill after the batch crc
+    # Vectorizable texts (ASCII, >= n chars) are joined into ONE buffer
+    # with a '\x00' separator and windowed once — the old per-text
+    # encode/frombuffer/window loop was itself the kernel's hot spot
+    # (measured ~18 us/text, 60% of the pass on short-text corpora).
+    fast_texts: list[str] = []
+    fast_slots: list[int] = []
     for i, t in enumerate(texts):
         t = t or ""
         if len(t) < n:
@@ -104,25 +107,35 @@ def _batch_shingles(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarr
             counts[i] = len(h)
             parts.append(h)
             continue
-        bs = t.encode("utf-8")
-        if len(bs) != len(t):
+        if not t.isascii():
             h = shingle_hashes(t, n)  # non-ASCII: scalar fallback
             counts[i] = len(h)
             parts.append(h)
             continue
-        arr = np.frombuffer(bs, dtype=np.uint8)
-        m = len(t) - n + 1
-        counts[i] = m
-        win_slots.append(len(parts))
+        counts[i] = len(t) - n + 1
+        fast_slots.append(len(parts))
         parts.append(None)  # type: ignore[arg-type]
-        win_bytes.append(np.lib.stride_tricks.sliding_window_view(arr, n))
-    if win_bytes:
-        allwin = np.concatenate(win_bytes, axis=0)
+        fast_texts.append(t)
+    if fast_texts:
+        blob = np.frombuffer("\x00".join(fast_texts).encode(), dtype=np.uint8)
+        lens = np.fromiter(
+            (len(t) for t in fast_texts), dtype=np.int64, count=len(fast_texts)
+        )
+        m = lens - n + 1
+        # window start offsets per text inside the blob (texts separated
+        # by exactly one byte) — windows never span the separator because
+        # only in-text starts are indexed
+        text_off = np.zeros(len(fast_texts), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=text_off[1:])
+        seg_end = np.cumsum(m)
+        intra = np.arange(int(seg_end[-1]), dtype=np.int64) - np.repeat(
+            seg_end - m, m
+        )
+        win_start = np.repeat(text_off, m) + intra
+        allwin = np.lib.stride_tricks.sliding_window_view(blob, n)[win_start]
         crcs = _crc32_mat(allwin).astype(np.uint64)
-        off = 0
-        for slot, w in zip(win_slots, win_bytes):
-            parts[slot] = crcs[off : off + len(w)]
-            off += len(w)
+        for slot, s, e in zip(fast_slots, seg_end - m, seg_end):
+            parts[slot] = crcs[s:e]
     hashes = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
     starts = np.zeros(len(texts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -140,19 +153,21 @@ def minhash_sigs_batch(texts, num_hashes: int = 16, seed: int = 7) -> np.ndarray
     a, b = _rng_params(num_hashes, seed)
     hashes, starts, counts = _batch_shingles(texts)
     out = np.empty((len(texts), num_hashes), dtype=np.uint64)
-    # chunk on TEXT boundaries so each reduceat sees whole segments
-    i = 0
-    max_shingles = max(_BATCH_CELL_BUDGET // max(num_hashes, 1), 1)
-    while i < len(texts):
-        j = i
-        tot = 0
-        while j < len(texts) and (tot + counts[j] <= max_shingles or j == i):
-            tot += counts[j]
-            j += 1
-        seg = hashes[starts[i] : starts[i] + tot]
-        vals = (seg[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
-        out[i:j] = np.minimum.reduceat(vals, starts[i:j] - starts[i], axis=0)
-        i = j
+    if not len(hashes):
+        return out
+    # Distinct-gram factoring (r6): a batch of texts shares its shingle
+    # vocabulary heavily (3-gram space is tiny vs total shingle count),
+    # so compute the permuted value (a*h+b) mod p — the slow uint64
+    # modmul, same wraparound as the scalar spec — once per DISTINCT
+    # shingle hash and per-permutation, then GATHER per occurrence and
+    # segment-min. Gather + reduceat per permutation replaces the
+    # (total_shingles x num_hashes) modmul matrix: bit-identical values
+    # (the lut rows ARE (a*h+b)%p for the same uint64 h), ~10x less
+    # arithmetic on repetitive corpora.
+    uniq, inv = np.unique(hashes, return_inverse=True)
+    for kk in range(num_hashes):
+        lut = (a[kk] * uniq + b[kk]) % np.uint64(MERSENNE)
+        out[:, kk] = np.minimum.reduceat(lut[inv], starts)
     return out
 
 

@@ -189,33 +189,55 @@ def connected_components(
     docs with no accepted edge. ``stats`` (optional) records driver-loop
     telemetry: rounds run, Spark jobs issued, per-job seconds.
     """
-    # lazy checkpoint: the first fingerprint job below materializes the
-    # initial distinct edge set, rounds 1-2 on top of it, and the round-2
-    # checkpoint — all in ONE job — then truncates lineage.
+    # Orient the initial edges big->small before the distinct: (a,b) and
+    # (b,a) collapse to one row (smaller distinct shuffle), self-loops
+    # drop (the rounds eliminate both anyway — output-identical), and the
+    # oriented set satisfies the rounds' dst<src invariant, so the
+    # structural star-forest probe below is valid on round ZERO.
     cur = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
     rounds = jobs = 0
-    done = False
-    while rounds < max_iter:
+    # Round-0 probe (one tiny aggregate job, and it is the action that
+    # materializes the lazy checkpoint): edge sets that are ALREADY
+    # min-rooted star forests — disjoint duplicate pairs from a planted
+    # dedup corpus, the near-empty residual graph of
+    # components_from_strong, an empty set — converge with zero rounds,
+    # skipping a full double-round + probe (3+ driver jobs each run).
+    # Non-forest inputs pay one extra O(E) aggregation before round 1 —
+    # far cheaper than the double-round it precedes.
+    t0 = time.monotonic()
+    done = _is_converged(cur)
+    jobs += 1
+    if stats is not None:
+        stats.setdefault("job_secs", []).append(round(time.monotonic() - t0, 3))
+    while not done and rounds < max_iter:
         cur = _star_round(cur)
         rounds += 1
-        if rounds % 2 == 0 or rounds == max_iter:
-            # one action per 2 rounds: materialize + truncate + probe the
-            # structural fixed point (star forest — no confirmation
-            # stride needed, see _CONVERGED_SQL)
-            cur = cur.localCheckpoint(eager=False)
-            t0 = time.monotonic()
-            done = _is_converged(cur)
-            jobs += 1
-            if stats is not None:
-                stats.setdefault("job_secs", []).append(
-                    round(time.monotonic() - t0, 3)
-                )
-            if done:
-                break
+        # probe after EVERY round (r6; was every 2): near-clique inputs
+        # — this pipeline's common case — converge after ONE
+        # large+small round, and the old 2-round stride burned a whole
+        # extra round (~6 exchanges/AQE jobs) re-deriving an already
+        # fixed point. The probe itself is one O(E) aggregation — far
+        # cheaper than the round it saves; on graphs that genuinely
+        # need 2k rounds it adds one E-scan per odd round (~10-20% of a
+        # round's shuffle cost), the right trade at every scale.
+        cur = cur.localCheckpoint(eager=False)
+        t0 = time.monotonic()
+        done = _is_converged(cur)
+        jobs += 1
+        if stats is not None:
+            stats.setdefault("job_secs", []).append(
+                round(time.monotonic() - t0, 3)
+            )
+        if done:
+            break
     if stats is not None:
         stats["rounds"] = rounds
         stats["jobs"] = jobs

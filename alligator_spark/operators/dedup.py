@@ -33,6 +33,24 @@ from alligator_spark.functions.hashing import minhash_band_keys
 from alligator_spark.operators.clustering import connected_components
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure >= core-count partitions before a corpus-sized Python pass.
+
+    A few-MB parquet corpus scans as 1-2 input splits, which would run
+    the signature pandas UDF nearly single-threaded on a 32-core local
+    master (measured: the whole minhash key pass serialized on one task).
+    At real scale the scan already yields >> defaultParallelism splits
+    and this is a structural no-op — the check is driver-side planning
+    only, no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct text: representative id + duplicate count.
 
@@ -92,12 +110,6 @@ def _pairs_from_buckets(
     real scale each is a serial driver collect+build).
     """
     has_salt_key = "salt_key" in keyed.columns
-    # persist: the bucket table sits on pandas-UDF signature passes and
-    # is referenced by the stats aggregate, the self-join's two sides,
-    # the rep table and the content-star table — unpersisted, the
-    # signature computation re-executes per reference (the same
-    # duplicated-Python-pass bug fixed in score_pairs this round)
-    keyed = keyed.persist()
     sizes = keyed.groupBy("bucket_key").agg(F.count("*").alias("sz"))
     stats = sizes.withColumn(
         "n_salts",
@@ -106,8 +118,19 @@ def _pairs_from_buckets(
             F.ceil(F.col("sz") / max_bucket).cast("int"),
         ).otherwise(F.lit(1)),
     )
-    stats = stats.persist()  # read by the bucket join, lineage, and caller
-    keyed = (
+    # keyedf — the salted duplicate-bucket rows — is the ONLY corpus-scale
+    # frame the pair machinery fans out from, and it is persisted AND
+    # eagerly materialized. Two lessons are baked in here (r6, event-log
+    # driven): (1) a lazy persist lets AQE's concurrent branch-stage jobs
+    # each recompute the whole signature subtree before the cache exists
+    # (cache stampede — the same explode+ArrowEvalPython stage ran 3-8x
+    # concurrently); (2) the old shape re-executed the sizes-join from
+    # cache once per branch (self-join a-side, b-side, reps, star-group,
+    # star-rep: 5 scans + shuffles of the full keyed table). Now: one
+    # sizes aggregate + one skew-safe shuffle-hash join (partial aggs, no
+    # per-key row pileup, AQE can split it), materialized once; every
+    # branch reads this small post-filter cache.
+    keyedf = (
         keyed.join(stats.hint("shuffle_hash"), "bucket_key")
         .filter(F.col("sz") > 1)
         .withColumn(
@@ -125,22 +148,43 @@ def _pairs_from_buckets(
             "n_salts",
             *(["salt_key"] if has_salt_key else []),
         )
+        .persist()
     )
-    a = keyed.select("bucket_key", "salt", F.col("_id").alias("a"))
-    b = keyed.select("bucket_key", "salt", F.col("_id").alias("b"))
+    keyedf.count()  # single-flight cache build before the fan-out
+    # Within-group pairs via ONE groupBy + a codegen combination explode
+    # instead of a two-sided self-join: the (bucket, salt) group is
+    # BOUNDED by construction (<= ~max_bucket after the salt split), so
+    # collect_list cannot materialize a mega-row, and one exchange of the
+    # duplicate rows replaces the self-join's two. sort_array gives a < b
+    # inside the combos directly.
+    grp = keyedf.groupBy("bucket_key", "salt").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids"),
+        F.min("_id").alias("salt_rep"),
+        F.first("n_salts").alias("n_salts"),
+    )
+    grp = grp.persist()
+    grp.count()
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - F.lit(1)
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     within = (
-        a.join(b.hint("shuffle_hash"), ["bucket_key", "salt"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grp.filter(F.size("ids") > 1)
+        .select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
     )
     # split buckets: pair the g salt-group representatives PAIRWISE so the
     # bucket stays connected even when individual rep edges fail the
-    # downstream verify (g is small: ceil(sz / max_bucket))
-    reps = (
-        keyed.filter(F.col("n_salts") > 1)
-        .groupBy("bucket_key", "salt")
-        .agg(F.min("_id").alias("salt_rep"))
-    )
+    # downstream verify (g is small: ceil(sz / max_bucket)); reps ride the
+    # same grp aggregate (one row per (bucket, salt))
+    reps = grp.filter(F.col("n_salts") > 1).select("bucket_key", "salt_rep")
     rep_pairs = (
         reps.select("bucket_key", F.col("salt_rep").alias("a"))
         .join(reps.select("bucket_key", F.col("salt_rep").alias("b")).hint("shuffle_hash"), "bucket_key")
@@ -151,15 +195,17 @@ def _pairs_from_buckets(
     if has_salt_key:
         # content stars: min-id member per (split bucket, content prefix)
         # paired to every other member of that content group — O(group)
-        # edges, each verify-surviving by construction (shared prefix)
-        grp = keyed.filter(F.col("n_salts") > 1).select(
+        # edges, each verify-surviving by construction (shared prefix).
+        # Kept as a streaming join (NOT collect_list): a content group in
+        # a split bucket is exactly the unbounded mega-duplicate case.
+        grp2 = keyedf.filter(F.col("n_salts") > 1).select(
             "bucket_key", "salt_key", "_id"
         )
-        grp_rep = grp.groupBy("bucket_key", "salt_key").agg(
+        grp_rep = grp2.groupBy("bucket_key", "salt_key").agg(
             F.min("_id").alias("_rep"), F.count("*").alias("_gn")
         )
         star = (
-            grp.join(
+            grp2.join(
                 grp_rep.filter(F.col("_gn") > 1).hint("shuffle_hash"),
                 ["bucket_key", "salt_key"],
             )
@@ -261,6 +307,7 @@ def minhash_lsh_dedup(
             [
                 T.StructField("bands", T.ArrayType(T.StringType())),
                 T.StructField("es", T.StringType()),
+                T.StructField("g3", T.ArrayType(T.LongType())),
             ]
         )
     )
@@ -271,19 +318,28 @@ def minhash_lsh_dedup(
 
         texts = s.tolist()
         es_col = []
+        g3_col = []
         for x in texts:
             arr = ngram_hash_array(x or "", 3)
             es_col.append(
                 "es:" + hashlib.md5(arr.tobytes()).hexdigest() if arr.size else None
             )
+            # the verify-gram set itself (63-bit collision-free codepoint
+            # pack, < 2^63 so the int64 cast is lossless): shipping it out
+            # of this one pass makes the verify stage pure JVM
+            g3_col.append(arr.astype(np.int64))
         bands_col = (
             minhash_band_keys(texts, nh, nb, 17)  # minhash_buckets' seed
             if with_bands
             else [[] for _ in texts]
         )
-        return pd.DataFrame({"bands": bands_col, "es": es_col})
+        return pd.DataFrame({"bands": bands_col, "es": es_col, "g3": g3_col})
 
-    k = df.select(F.col(id_col), all_keys(F.col(text_col)).alias("_k"))
+    # ONE Arrow pass over a spread corpus (see _spread), persisted: the
+    # bucket explode AND both verify-side joins read it — unpersisted,
+    # the whole key pass re-executes per reference
+    k = _spread(df).select(F.col(id_col), all_keys(F.col(text_col)).alias("_k"))
+    k = k.persist()
     # band rows salt on the first band key (a content prefix shared
     # w.h.p. by near-identical docs — see _pairs_from_buckets); the
     # exact-set bucket is content-homogeneous by construction, so its
@@ -313,26 +369,24 @@ def minhash_lsh_dedup(
     )
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
-    texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
-    texts_b = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb"))
-    sc = df.sparkSession.sparkContext
-    # keep the Python verify stage spread across cores (AQE would coalesce
-    # the small bucket-join output to one task — see scoring.score_pairs)
-    enriched = (
-        pairs.join(texts_a.hint("shuffle_hash"), "a")
-        .join(texts_b.hint("shuffle_hash"), "b")
-        .repartition(max(sc.defaultParallelism * 2, 8))
+    # JVM verify (r6): |A∩B|/max(|A|,|B|,1) over the collision-free packed
+    # gram arrays shipped by the key pass — value-identical to the old
+    # per-pair Python ngram_overlap (same gram sets, exact 63-bit pack,
+    # same IEEE double division), with zero Python boundary and no extra
+    # corpus text joins (both sides read the persisted key table).
+    grams_a = k.select(
+        F.col(id_col).alias("a"), F.col("_k.g3").alias("ga")
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def jac3(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        from alligator_spark.functions.similarity import ngram_overlap
-
-        return pd.Series(
-            [ngram_overlap(x or "", y or "", 3) for x, y in zip(sa, sb)]
-        )
-
-    verified = enriched.withColumn("jac", jac3("ta", "tb")).filter(
+    grams_b = k.select(
+        F.col(id_col).alias("b"), F.col("_k.g3").alias("gb")
+    )
+    enriched = pairs.join(grams_a.hint("shuffle_hash"), "a").join(
+        grams_b.hint("shuffle_hash"), "b"
+    )
+    jac = F.size(F.array_intersect("ga", "gb")) / F.greatest(
+        F.size("ga"), F.size("gb"), F.lit(1)
+    )
+    verified = enriched.withColumn("jac", jac).filter(
         F.col("jac") >= threshold
     )
     edges = verified.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
@@ -358,22 +412,30 @@ def simhash_dedup(
 
         return pd.Series(simhash64_batch(s.tolist()), dtype="int64")
 
-    sig = df.select(F.col(id_col), sh(F.col(text_col)).alias("sig"))
-    chunks = [
-        sig.select(
-            id_col,
-            F.concat(
-                F.lit(f"c{i}:"),
-                F.shiftrightunsigned(F.col("sig"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .cast("string"),
-            ).alias("bucket_key"),
-        )
-        for i in range(4)
-    ]
-    keyed = chunks[0]
-    for c in chunks[1:]:
-        keyed = keyed.unionByName(c)
+    # ONE signature pass, persisted (r6): the old union-of-4-chunk-scans
+    # re-ran the corpus UDF once per chunk and the two verify joins re-ran
+    # it twice more — 6 full pandas passes for one signature column.
+    # _spread first: a small parquet corpus arrives as 1-2 scan splits,
+    # which single-threads the Python pass (no-op when the scan already
+    # has >= core-count partitions).
+    sig = _spread(df).select(F.col(id_col), sh(F.col(text_col)).alias("sig"))
+    sig = sig.persist()
+    keyed = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"c{i}:"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bucket_key"),
+    )
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
@@ -425,7 +487,13 @@ def embedding_neardup(
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
-    keyed = df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket_key"))
+    # spread (single-split parquet scans would single-thread the UDF),
+    # persist + eager count: the sizes aggregate and the bucket join both
+    # scan this UDF frame — lazily persisted they'd stampede-recompute it
+    keyed = _spread(df).select(
+        F.col(id_col), bucket(F.col(vec_col)).alias("bucket_key")
+    ).persist()
+    keyed.count()
     pairs, stats = _pairs_from_buckets(keyed, id_col, max_bucket)
     _record_bucket_stats(stats, stats_acc)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))

@@ -179,7 +179,12 @@ def candidate_pairs(
     sc = keys.sparkSession.sparkContext
     dp = max(sc.defaultParallelism, 4)
     est_parts = int(est_pairs // cfg.target_pairs_per_task) + 1
-    n_parts = max(dp, min(est_parts, dp * 4))
+    # volume-adaptive floor (r6): a tiny corpus (est_pairs ~ 10^3-10^4)
+    # does not need a full wave of core-count tasks — per-task fixed cost
+    # dominates and the flat `dp` floor was pure overhead (measured: the
+    # 500-doc pair build spent more on 32-task scheduling than on pairs).
+    # Medium/large corpora hit the dp..4*dp band exactly as before.
+    n_parts = min(max(est_parts, 8), dp * 4)
     keyed = keyed.repartition(n_parts, "block_key", "salt")
 
     has_sim = bool(cfg.candidate_limit) and sigs is not None

@@ -218,7 +218,10 @@ def weighted_overlap(
     # CORPUS (a broadcast build is serial driver time growing with it).
     # persist: both pair-side joins read this subtree, which now contains
     # the freq aggregation — without caching it executes twice per call.
-    sides = _keys_per_doc(doc_keys, freq).persist().hint("shuffle_hash")
+    sides = _keys_per_doc(doc_keys, freq).persist()
+    sides.count()  # eager: two concurrent join-side stages would other-
+    # wise each recompute the keys+freq subtree before the cache exists
+    sides = sides.hint("shuffle_hash")
     enriched = (
         pairs.select("doc_a", "doc_b")
         .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("kw").alias("ka")), "doc_a")
@@ -291,7 +294,9 @@ def _fused_rw(
         g3_keys.select("doc_id", F.concat(F.lit("g:"), F.col("key")).alias("key"))
     )
     freq = global_key_freq(topn, fused, min_docs)
-    sides = _keys_per_doc(fused, freq).persist().hint("shuffle_hash")
+    sides = _keys_per_doc(fused, freq).persist()
+    sides.count()  # eager single-flight cache build (see weighted_overlap)
+    sides = sides.hint("shuffle_hash")
     enriched = (
         pairs.select("doc_a", "doc_b")
         .join(sides.select(F.col("doc_id").alias("doc_a"), F.col("kw").alias("ka")), "doc_a")
@@ -394,6 +399,7 @@ def rerank_edges(
     n_docs_df = normalized.agg(F.count("*").cast("long").alias("n_docs"))
     # topn feeds three frequency aggregations — persist the one shuffle
     topn = candidate_topn(scored, cfg.top_n).persist()
+    topn.count()  # eager: three frequency aggregations fan out from it
 
     tok_keys = mention_token_keys(normalized)
     g3_keys = mention_gram_keys(normalized)

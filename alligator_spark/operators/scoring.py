@@ -406,7 +406,10 @@ def prefilter_lin_cap() -> float:
 
 
 def score_pairs(
-    pairs: DataFrame, normalized: DataFrame, prefilter: bool = True
+    pairs: DataFrame,
+    normalized: DataFrame,
+    prefilter: bool = True,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """pairs(doc_a, doc_b, block_key) + normalized -> scored edges.
 
@@ -419,11 +422,16 @@ def score_pairs(
     already-irrelevant value. Pass False to force the full battery
     (the equivalence test uses it).
     """
-    # persist: BOTH side joins read this subtree and exchange-reuse does
-    # not fire across the differently-keyed joins (verified: 0
-    # ReusedExchange, the per-doc featurize pandas pass ran twice) — at
-    # 600k docs that is a duplicated full-corpus Python stage
+    # persist + EAGER count: BOTH side joins read this subtree and
+    # exchange-reuse does not fire across the differently-keyed joins
+    # (verified: 0 ReusedExchange, the per-doc featurize pandas pass ran
+    # twice). The count matters as much as the persist: AQE materializes
+    # the two join-side shuffles as CONCURRENT jobs, and with a lazy
+    # persist each of them recomputes the whole featurize pass before
+    # the cache exists (cache stampede) — exactly the duplication the
+    # persist was meant to prevent. Build the cache once, then fan out.
     feats = featurize_sides(normalized).persist()
+    feats.count()
 
     def side(suffix: str):
         alias = {"norm_mention": "mention"}
@@ -564,7 +572,15 @@ def score_pairs(
         + py_in
         + (["_skip"] if prefilter else [])
     )
-    withf = withf.select(*keep).repartition(max(sc.defaultParallelism * 2, 8))
+    # spread width: volume-adaptive when the caller knows the pair count
+    # (~1000 pairs/task amortizes the Arrow round-trip; a 500-doc corpus
+    # then runs 8 battery tasks instead of 64 fixed-overhead ones),
+    # falling back to the 2x-core spread for unknown-size callers. Large
+    # inputs clamp to 2x cores either way — identical to the old plan.
+    spread = max(sc.defaultParallelism * 2, 8)
+    if n_pairs_hint is not None:
+        spread = min(max(int(n_pairs_hint) // 1000 + 1, 8), spread)
+    withf = withf.select(*keep).repartition(spread)
     py_struct = (
         F.struct(*py_in, F.col("_skip").alias("_skip"))
         if prefilter

@@ -101,9 +101,16 @@ def run_linkage(
         return out
 
     cfg = cfg or PipelineConfig()
+    # persist + EAGER count on the two shared per-doc tables: block_keys,
+    # candidate_pairs' sig ranking, the exact star, featurize and rerank
+    # all fan out from them as CONCURRENT AQE stage jobs, and a lazy
+    # persist lets every branch recompute the pandas subtree before the
+    # cache exists (cache stampede). Build each cache once, in order.
     normalized = normalize_docs(docs).persist()
+    normalized.count()
     # one MinHash pass, shared by strict blocking AND the fuzzy retry
     sigs = minhash_signatures(normalized, cfg.blocking).persist()
+    sigs.count()
     keys = block_keys(normalized, cfg.blocking, sigs=sigs)
     pairs, _ = candidate_pairs(keys, cfg.pairs, sigs=sigs)
     # Stage boundaries use localCheckpoint (materialize + TRUNCATE the
@@ -120,6 +127,11 @@ def run_linkage(
     # that runs the whole self-join twice (measured ~4s of the sf0.1 pair
     # stage; scale-neutral waste at 600k docs too).
     pairs = timed("pairs_ckpt", pairs)
+    # counting the checkpointed pair table is one cheap job over
+    # materialized partitions; it sizes the scoring battery's spread
+    # (exact/fuzzy additions below are a few percent — the sizing only
+    # needs the order of magnitude)
+    n_pairs = pairs.count()
     # exact-duplicate star edges: recall guarantee block caps can't break
     ex = exact_mention_pairs(normalized)
     pairs = pairs.unionByName(
@@ -129,7 +141,9 @@ def run_linkage(
         pairs = pairs.unionByName(
             fuzzy_rescue_pairs(normalized, pairs, cfg.blocking, sigs=sigs)
         )
-    rank_raw = timed("score_ckpt", score_pairs(pairs, normalized))
+    rank_raw = timed(
+        "score_ckpt", score_pairs(pairs, normalized, n_pairs_hint=n_pairs)
+    )
     ranked = rank_raw
     if cfg.rerank.enabled:
         # M3: global-frequency rerank between rank and the match decision
