@@ -33,22 +33,7 @@ from alligator_spark.functions.hashing import minhash_band_keys
 from alligator_spark.operators.clustering import connected_components
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure >= core-count partitions before a corpus-sized Python pass.
-
-    A few-MB parquet corpus scans as 1-2 input splits, which would run
-    the signature pandas UDF nearly single-threaded on a 32-core local
-    master (measured: the whole minhash key pass serialized on one task).
-    At real scale the scan already yields >> defaultParallelism splits
-    and this is a structural no-op — the check is driver-side planning
-    only, no job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive
-        return df
-    return df.repartition(target) if n < target else df
+from alligator_spark.operators.util import spread_scan as _spread
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -150,7 +135,13 @@ def _pairs_from_buckets(
         )
         .persist()
     )
-    keyedf.count()  # single-flight cache build before the fan-out
+    # single-flight cache build before the fan-out; the same job reports
+    # whether ANY bucket was salt-split, so the split-only machinery
+    # (rep pairs, content stars) can be skipped outright below — on
+    # corpora with no oversize bucket those branches are empty anyway,
+    # but still cost ~4 exchange/AQE stage jobs of pure latency each run
+    max_salts = keyedf.agg(F.max("n_salts")).collect()[0][0]
+    has_split = (max_salts or 1) > 1
     # Within-group pairs via ONE groupBy + a codegen combination explode
     # instead of a two-sided self-join: the (bucket, salt) group is
     # BOUNDED by construction (<= ~max_bucket after the salt split), so
@@ -162,8 +153,11 @@ def _pairs_from_buckets(
         F.min("_id").alias("salt_rep"),
         F.first("n_salts").alias("n_salts"),
     )
-    grp = grp.persist()
-    grp.count()
+    if has_split:
+        # only the split path reads grp twice (within + rep pairs);
+        # unsplit corpora keep it single-consumer and skip the cache
+        grp = grp.persist()
+        grp.count()
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -184,15 +178,17 @@ def _pairs_from_buckets(
     # bucket stays connected even when individual rep edges fail the
     # downstream verify (g is small: ceil(sz / max_bucket)); reps ride the
     # same grp aggregate (one row per (bucket, salt))
-    reps = grp.filter(F.col("n_salts") > 1).select("bucket_key", "salt_rep")
-    rep_pairs = (
-        reps.select("bucket_key", F.col("salt_rep").alias("a"))
-        .join(reps.select("bucket_key", F.col("salt_rep").alias("b")).hint("shuffle_hash"), "bucket_key")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
-    pairs = within.unionByName(rep_pairs)
-    if has_salt_key:
+    pairs = within
+    if has_split:
+        reps = grp.filter(F.col("n_salts") > 1).select("bucket_key", "salt_rep")
+        rep_pairs = (
+            reps.select("bucket_key", F.col("salt_rep").alias("a"))
+            .join(reps.select("bucket_key", F.col("salt_rep").alias("b")).hint("shuffle_hash"), "bucket_key")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        pairs = pairs.unionByName(rep_pairs)
+    if has_salt_key and has_split:
         # content stars: min-id member per (split bucket, content prefix)
         # paired to every other member of that content group — O(group)
         # edges, each verify-surviving by construction (shared prefix).

@@ -655,6 +655,19 @@ def strong_components(scored: DataFrame, cfg: ScoringConfig | None = None) -> Da
     )
 
 
+def accepted_edge_keys(
+    scored: DataFrame,
+    cfg: ScoringConfig | None = None,
+    strong_comps: DataFrame | None = None,
+) -> DataFrame:
+    """The accepted (doc_a, doc_b) key set of :func:`accept_edges`,
+    WITHOUT the join back onto the wide scored table. The clustering
+    path only contracts keys, so consuming this directly keeps the wide
+    rerank-feature rows out of the accept shuffle entirely (accept_edges
+    remains the full-table contract for CEA/CPA consumers)."""
+    return _accept_keys(scored, cfg or ScoringConfig(), strong_comps)
+
+
 def accept_edges(
     scored: DataFrame,
     cfg: ScoringConfig | None = None,
@@ -674,7 +687,18 @@ def accept_edges(
     otherwise it is derived here.
     """
     cfg = cfg or ScoringConfig()
+    accepted_keys = _accept_keys(scored, cfg, strong_comps)
+    return scored.join(accepted_keys, ["doc_a", "doc_b"], "left").withColumn(
+        "accepted", F.coalesce("accepted", F.lit(False))
+    )
 
+
+def _accept_keys(
+    scored: DataFrame,
+    cfg: ScoringConfig,
+    strong_comps: DataFrame | None,
+) -> DataFrame:
+    """(doc_a, doc_b, accepted=true) rows of the match decision."""
     # Strong edges (score >= strong) are accepted UNCONDITIONALLY, so
     # they never need the window — and any endpoint that has a strong
     # edge can never accept a borderline edge through that endpoint
@@ -754,11 +778,8 @@ def accept_edges(
             )
         )
     )
-    accepted_keys = (
+    return (
         strong_keys.unionByName(ranked.filter(borderline).select("doc_a", "doc_b"))
         .distinct()
         .withColumn("accepted", F.lit(True))
-    )
-    return scored.join(accepted_keys, ["doc_a", "doc_b"], "left").withColumn(
-        "accepted", F.coalesce("accepted", F.lit(False))
     )

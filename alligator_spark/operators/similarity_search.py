@@ -81,12 +81,18 @@ def brute_force_topk(
     The query side must be small (broadcast); the corpus side streams —
     no shuffle of the corpus at all.
     """
+    from alligator_spark.operators.util import spread_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm2_expr(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
+    # spread_scan: the join itself never shuffles the corpus (queries
+    # broadcast), but a 1-2 split parquet scan would run the whole
+    # cosine pass on 1-2 cores — spread only then (at scale the scan is
+    # already wide and no repartition happens)
+    c = spread_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm2_expr(F.col(vec_col)).alias("_cn"),

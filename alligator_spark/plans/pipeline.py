@@ -111,6 +111,12 @@ def run_linkage(
     # one MinHash pass, shared by strict blocking AND the fuzzy retry
     sigs = minhash_signatures(normalized, cfg.blocking).persist()
     sigs.count()
+    # keys stays UNPERSISTED deliberately: candidate_pairs reads it twice
+    # (stats aggregate + stats join) but the subtree is cheap JVM explodes
+    # over the two caches above — the concurrent duplicate execution
+    # overlaps in wall time, while an eager cache build would serialize a
+    # full extra pass (measured slower at sf0.1). Eager persists are for
+    # EXPENSIVE (Python-pass) subtrees only.
     keys = block_keys(normalized, cfg.blocking, sigs=sigs)
     pairs, _ = candidate_pairs(keys, cfg.pairs, sigs=sigs)
     # Stage boundaries use localCheckpoint (materialize + TRUNCATE the
@@ -157,12 +163,25 @@ def run_linkage(
     sc = strong_components(ranked, cfg.scoring).localCheckpoint(eager=True)
     if stage_times is not None:
         stage_times["strong_cc"] = round(_time.monotonic() - t_cc, 2)
-    scored = accept_edges(ranked, cfg.scoring, strong_comps=sc)
+    # Accept decision once, as a narrow key table (lazy checkpoint: the
+    # CC probe below is the action that materializes it, truncating the
+    # window machinery out of every later plan). The clustering path
+    # contracts KEYS — joining the decision back onto the wide rerank
+    # rows (accept_edges) is built lazily for the CEA/CPA consumers only,
+    # so the wide feature rows never ride the accept shuffle here.
+    from alligator_spark.operators.scoring import accepted_edge_keys
+
+    akeys = accepted_edge_keys(
+        ranked, cfg.scoring, strong_comps=sc
+    ).localCheckpoint(eager=False)
+    scored = ranked.join(akeys, ["doc_a", "doc_b"], "left").withColumn(
+        "accepted", F.coalesce("accepted", F.lit(False))
+    )
     cc_stats: dict | None = {} if stage_times is not None else None
     t_cc = _time.monotonic()
     components = components_from_strong(
         sc,
-        scored.filter("accepted").select("doc_a", "doc_b"),
+        akeys.select("doc_a", "doc_b"),
         all_nodes=normalized.select("doc_id"),
         stats=cc_stats,
     )
